@@ -1,0 +1,332 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Turn
+import graft.query.Bm25
+import graft.tokenize.Tokenizer
+import SegmentIO._
+
+/** Distributed inverted-index build (BASELINE.json:north_rule; SURVEY
+  * §3.2 maps it stage-by-stage onto the reference's
+  * `build_complete_system.py` pipeline).
+  *
+  * Stages — each persisted + manifest-marked, so a killed build
+  * resumes at the first incomplete stage (the reference's
+  * checkpoint/resume pattern, `src/embedding_generator.py:150-181`):
+  *
+  *  1. docs       stable docID assignment: global sort on
+  *                (conv_id, turn_idx) → rank. Rank is partition-
+  *                boundary independent, so any parallelism yields the
+  *                same ids (N vs 4N reproducibility, SURVEY §7.5).
+  *  2. stats      num_docs / avgdl / total_tokens as aggregations
+  *                (the reference's global corpus statistic,
+  *                `src/embedding_generator.py:241-276`).
+  *  3. dictionary per-term df, cf, max tf-norm (hash agg, map-side
+  *                partial).
+  *  4. postings   (term, doc_id, tf) → hash-repartition by
+  *                (shard, term) → in-partition sort → streaming
+  *                block encode (delta+varbyte, block-max). With
+  *                cfg.salts > 1, hot terms build as salted
+  *                sub-postings merged by a sort-merge shuffle —
+  *                byte-identical output (block boundaries are
+  *                salt-independent).
+  *
+  * The index is document-sharded (shard = doc_id / docsPerShard):
+  * each shard holds complete postings for its doc range, so query
+  * fan-out is per-shard local top-k + driver merge — the layout that
+  * scales to many executors without term-granularity hotspots.
+  */
+object IndexBuilder {
+
+  case class Config(
+      blockSize: Int = 128,
+      numShards: Int = 32,
+      numPartitions: Int = 32,
+      salts: Int = 1)
+
+  /** One salted sub-posting run: a doc-ordered slice of one term's
+    * postings within a shard (salt = hash(doc_id) % salts).
+    */
+  case class SubRun(shard: Int, term: String, salt: Int,
+      docIds: Array[Long], tfs: Array[Int], dls: Array[Int])
+
+  /** Column-expression twin of [[Bm25.tfNorm]] — operation order kept
+    * identical for bit-equal doubles.
+    */
+  def tfNormCol(tf: Column, dl: Column, avgdl: Double): Column =
+    tf * lit(Bm25.K1 + 1.0) /
+      (tf + lit(Bm25.K1) * (lit(1.0 - Bm25.B) + lit(Bm25.B) * dl / lit(avgdl)))
+
+  /** Stage 1: stable doc ids. Two-pass rank (per-partition counts →
+    * offsets) via zipWithIndex over the range-partitioned sort — the
+    * one place RDD is forced: `row_number()` over an unbounded window
+    * would single-partition the corpus (SURVEY §7.5).
+    */
+  def assignDocIds(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      numPartitions: Int,
+      docsPerShard: Long): Dataset[IndexedTurn] = {
+    import spark.implicits._
+    val sorted = turns
+      .repartitionByRange(numPartitions, $"conv_id", $"turn_idx")
+      .sortWithinPartitions($"conv_id", $"turn_idx")
+    val rdd = sorted.rdd.zipWithIndex().map { case (t, i) =>
+      IndexedTurn(i, t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
+        Tokenizer.tokenize(t.text).length, (i / docsPerShard).toInt)
+    }
+    spark.createDataset(rdd)
+  }
+
+  /** (term, doc_id, tf, dl, shard) from the doc store — re-derived
+    * per stage so stages stay independently resumable.
+    */
+  private def termFreqs(spark: SparkSession, docs: Dataset[IndexedTurn]) = {
+    import spark.implicits._
+    docs
+      .select($"doc_id", $"dl", $"shard",
+        explode(Tokenizer.tokensCol($"text")).as("term"))
+      .groupBy($"term", $"doc_id", $"dl", $"shard")
+      .agg(count(lit(1)).cast("int").as("tf"))
+  }
+
+  def build(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      dir: String,
+      cfg: Config = Config()): IndexStats = {
+    import spark.implicits._
+
+    // ---- stage 1: docs ----
+    if (!stageDone(dir, "docs")) {
+      val n = turns.count()
+      val docsPerShard = math.max(1L, (n + cfg.numShards - 1) / cfg.numShards)
+      val ids = assignDocIds(spark, turns, cfg.numPartitions, docsPerShard)
+      ids.write.mode("overwrite").partitionBy("shard").parquet(docsPath(dir))
+      val written = spark.read.parquet(docsPath(dir))
+      val perShard = written.groupBy("shard").count()
+        .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
+      writeStats(dir, IndexStats(n, 0.0, 0L, cfg.numShards, docsPerShard, cfg.blockSize))
+      writeManifest(dir, StageManifest("docs", n, n,
+        contentChecksum(written.select("doc_id", "conv_id", "turn_idx")), perShard))
+    }
+    val docs = readDocs(spark, dir)
+
+    // ---- stage 2: corpus statistics (df/cf live in the dictionary;
+    // avgdl here) ----
+    if (!stageDone(dir, "stats")) {
+      val s0 = readStats(dir)
+      val row = docs.agg(count(lit(1)), sum($"dl")).collect()(0)
+      val n = row.getLong(0)
+      val totalTokens = if (row.isNullAt(1)) 0L else row.getLong(1)
+      val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
+      writeStats(dir, IndexStats(n, avgdl, totalTokens, s0.numShards,
+        s0.docsPerShard, s0.blockSize))
+      writeManifest(dir, StageManifest("stats", n, 1, totalTokens, Nil))
+    }
+    val stats = readStats(dir)
+
+    // ---- stage 3: dictionary ----
+    if (!stageDone(dir, "dictionary")) {
+      val tf = termFreqs(spark, docs)
+      val dict = tf
+        .groupBy($"term")
+        .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"),
+          max(tfNormCol($"tf", $"dl", stats.avgdl)).as("max_tfnorm"))
+      dict.orderBy($"term").write.mode("overwrite").parquet(dictPath(dir))
+      val written = spark.read.parquet(dictPath(dir))
+      writeManifest(dir, StageManifest("dictionary", stats.numDocs,
+        written.count(), contentChecksum(written.select("term", "df", "cf")), Nil))
+    }
+
+    // ---- stage 4: postings ----
+    if (!stageDone(dir, "postings")) {
+      val tf = termFreqs(spark, docs)
+      val blocks =
+        if (cfg.salts <= 1) encodeDirect(spark, tf, stats, cfg)
+        else encodeSalted(spark, tf, stats, cfg)
+      blocks.toDF().write.mode("overwrite").partitionBy("shard")
+        .parquet(postingsPath(dir))
+      val written = spark.read.parquet(postingsPath(dir))
+      val perShard = written.groupBy("shard").count()
+        .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
+      writeManifest(dir, StageManifest("postings", stats.numDocs, written.count(),
+        contentChecksum(written.select("term", "block_id", "first_doc", "last_doc")),
+        perShard))
+    }
+
+    // ---- stage 5: per-shard norm arrays (query-time dl lookup) ----
+    if (!stageDone(dir, "norms")) {
+      val norms = docs
+        .select($"shard", $"doc_id", $"dl")
+        .as[(Int, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (shard, rows) =>
+          val arr = rows.toArray.sortBy(_._2)
+          NormsRow(shard, arr.length, arr.head._2,
+            Varbyte.encodeInts(arr.map(_._3)))
+        }
+      norms.toDF().write.mode("overwrite").parquet(normsPath(dir))
+      val written = spark.read.parquet(normsPath(dir))
+      writeManifest(dir, StageManifest("norms", stats.numDocs, written.count(),
+        contentChecksum(written.select("shard", "n", "first_doc")), Nil))
+    }
+
+    writeSnapshot(dir, Seq("docs", "stats", "dictionary", "postings", "norms"))
+    stats
+  }
+
+  /** Streaming block encode of one doc-ordered (shard, term) group.
+    * Iterator-to-iterator: never materializes a partition.
+    */
+  private def encodeGroup(
+      shard: Int,
+      term: String,
+      docIds: Array[Long],
+      tfs: Array[Int],
+      dls: Array[Int],
+      avgdl: Double,
+      blockSize: Int): Seq[PostingBlock] = {
+    val out = new ArrayBuffer[PostingBlock]((docIds.length + blockSize - 1) / blockSize)
+    var off = 0
+    var blockId = 0
+    while (off < docIds.length) {
+      val n = math.min(blockSize, docIds.length - off)
+      val ids = java.util.Arrays.copyOfRange(docIds, off, off + n)
+      val tfsB = java.util.Arrays.copyOfRange(tfs, off, off + n)
+      var maxTf = 0
+      var maxTfNorm = 0.0
+      var i = 0
+      while (i < n) {
+        if (tfsB(i) > maxTf) maxTf = tfsB(i)
+        val tn = Bm25.tfNorm(tfsB(i), dls(off + i), avgdl)
+        if (tn > maxTfNorm) maxTfNorm = tn
+        i += 1
+      }
+      out += PostingBlock(term, blockId, n, ids(0), ids(n - 1),
+        Varbyte.encodeDeltas(ids), Varbyte.encodeInts(tfsB), maxTf, maxTfNorm, shard)
+      off += n
+      blockId += 1
+    }
+    out.toSeq
+  }
+
+  /** Direct path: hash-repartition by (shard, term) — a group never
+    * splits across partitions — then in-partition sort + streaming
+    * encode of consecutive groups.
+    */
+  private def encodeDirect(
+      spark: SparkSession,
+      tf: org.apache.spark.sql.DataFrame,
+      stats: IndexStats,
+      cfg: Config): Dataset[PostingBlock] = {
+    import spark.implicits._
+    val sorted = tf
+      .repartition(cfg.numPartitions, $"shard", $"term")
+      .sortWithinPartitions($"shard", $"term", $"doc_id")
+      .select($"shard", $"term", $"doc_id", $"tf", $"dl")
+      .as[(Int, String, Long, Int, Int)]
+    val avgdl = stats.avgdl
+    val blockSize = stats.blockSize
+    sorted.mapPartitions { it =>
+      new Iterator[PostingBlock] {
+        private val in = it.buffered
+        private var pending: Iterator[PostingBlock] = Iterator.empty
+        private def fill(): Unit = {
+          while (!pending.hasNext && in.hasNext) {
+            val (shard, term, _, _, _) = in.head
+            val ids = new ArrayBuffer[Long](64)
+            val tfs = new ArrayBuffer[Int](64)
+            val dls = new ArrayBuffer[Int](64)
+            while (in.hasNext && in.head._1 == shard && in.head._2 == term) {
+              val (_, _, d, f, l) = in.next()
+              ids += d; tfs += f; dls += l
+            }
+            pending = encodeGroup(shard, term, ids.toArray, tfs.toArray,
+              dls.toArray, avgdl, blockSize).iterator
+          }
+        }
+        def hasNext: Boolean = { fill(); pending.hasNext }
+        def next(): PostingBlock = { fill(); pending.next() }
+      }
+    }
+  }
+
+  /** Salted path for hot terms (north rule: "salted-key skew
+    * handling"): sub-aggregate per (shard, term, salt = hash(doc_id)
+    * % salts), then merge sub-postings with a sort-merge shuffle.
+    * Block boundaries are applied only after the merge, so output is
+    * byte-identical to the direct path (SURVEY §7.5).
+    */
+  private def encodeSalted(
+      spark: SparkSession,
+      tf: org.apache.spark.sql.DataFrame,
+      stats: IndexStats,
+      cfg: Config): Dataset[PostingBlock] = {
+    import spark.implicits._
+    val salted = tf
+      .withColumn("salt", pmod(xxhash64($"doc_id"), lit(cfg.salts)).cast("int"))
+      .repartition(cfg.numPartitions, $"shard", $"term", $"salt")
+      .sortWithinPartitions($"shard", $"term", $"salt", $"doc_id")
+      .select($"shard", $"term", $"salt", $"doc_id", $"tf", $"dl")
+      .as[(Int, String, Int, Long, Int, Int)]
+
+    // sub-posting runs: one (shard, term, salt) = one sorted run
+    val runs = salted.mapPartitions { it =>
+      val in = it.buffered
+      new Iterator[SubRun] {
+        def hasNext: Boolean = in.hasNext
+        def next(): SubRun = {
+          val (shard, term, salt, _, _, _) = in.head
+          val ids = new ArrayBuffer[Long](64)
+          val tfs = new ArrayBuffer[Int](64)
+          val dls = new ArrayBuffer[Int](64)
+          while (in.hasNext && in.head._1 == shard &&
+            in.head._2 == term && in.head._3 == salt) {
+            val (_, _, _, d, f, l) = in.next()
+            ids += d; tfs += f; dls += l
+          }
+          SubRun(shard, term, salt, ids.toArray, tfs.toArray, dls.toArray)
+        }
+      }
+    }
+
+    val avgdl = stats.avgdl
+    val blockSize = stats.blockSize
+    runs
+      .groupByKey(r => (r.shard, r.term))
+      .flatMapGroups { (key: (Int, String), rs: Iterator[SubRun]) =>
+        val (shard, term) = key
+        // k-way merge of disjoint sorted runs by doc_id
+        val runList = rs.toArray
+        val total = runList.map(_.docIds.length).sum
+        val ids = new Array[Long](total)
+        val tfs = new Array[Int](total)
+        val dls = new Array[Int](total)
+        val heads = Array.fill(runList.length)(0)
+        var w = 0
+        while (w < total) {
+          var best = -1
+          var bestDoc = Long.MaxValue
+          var i = 0
+          while (i < runList.length) {
+            if (heads(i) < runList(i).docIds.length &&
+              runList(i).docIds(heads(i)) < bestDoc) {
+              bestDoc = runList(i).docIds(heads(i)); best = i
+            }
+            i += 1
+          }
+          ids(w) = runList(best).docIds(heads(best))
+          tfs(w) = runList(best).tfs(heads(best))
+          dls(w) = runList(best).dls(heads(best))
+          heads(best) += 1
+          w += 1
+        }
+        encodeGroup(shard, term, ids, tfs, dls, avgdl, blockSize).iterator
+      }
+  }
+}

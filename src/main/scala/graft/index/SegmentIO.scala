@@ -1,0 +1,191 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Segment layout on disk (SURVEY.md §1.3 — the Spark-native analog
+  * of the reference's {embeddings.npy, pmid_index.json,
+  * faiss_index.bin} artifact set, `src/vector_index.py:37-43`):
+  *
+  * {{{
+  * <dir>/
+  *   docs/        parquet, partitioned by shard, doc_id-sorted
+  *   dictionary/  parquet, term-sorted: term, df, cf, max_tfnorm
+  *   postings/    parquet, partitioned by shard, (term, block_id)-sorted
+  *   stats.json   num_docs, avgdl, total_tokens, shards, block size
+  *   manifest/    per-stage JSON manifests (lineage + resume markers)
+  * }}}
+  *
+  * "Iceberg-style": no Iceberg runtime jar ships in /opt/spark/jars,
+  * so the snapshot/manifest metadata layer is written explicitly
+  * (SURVEY.md §1.3 Iceberg note); the directory convention stays
+  * catalog-compatible.
+  */
+object SegmentIO {
+
+  /** Docs-table row (doc store + BM25 norms). Text is retained so
+    * query-time keyword boost / penalize (reference
+    * `src/search_engine.py:362-461`) needs no second source.
+    */
+  case class IndexedTurn(
+      doc_id: Long,
+      conv_id: String,
+      turn_idx: Int,
+      role: String,
+      text: String,
+      tool: String,
+      ts: Timestamp,
+      dl: Int,
+      shard: Int)
+
+  /** One compressed posting block (block size cfg.blockSize docs):
+    * delta+varbyte doc ids, varbyte tfs, block-max metadata for WAND.
+    * block_max_tfnorm is idf-free (bound = idf * block_max_tfnorm at
+    * query time) so merging sub-postings never recomputes df.
+    */
+  case class PostingBlock(
+      term: String,
+      block_id: Int,
+      n: Int,
+      first_doc: Long,
+      last_doc: Long,
+      doc_bytes: Array[Byte],
+      tf_bytes: Array[Byte],
+      block_max_tf: Int,
+      block_max_tfnorm: Double,
+      shard: Int)
+
+  case class DictEntry(term: String, df: Long, cf: Long, max_tfnorm: Double)
+
+  /** Per-shard doc-length (BM25 norm) array: doc ids within a shard
+    * are contiguous [first_doc, first_doc + n), so dl lookup is
+    * array[doc_id - first_doc]. One row per shard keeps query-time
+    * norm access a single pruned-scan row fetch instead of a
+    * docs-table scan.
+    */
+  case class NormsRow(shard: Int, n: Int, first_doc: Long, dl_bytes: Array[Byte])
+
+  case class IndexStats(
+      numDocs: Long,
+      avgdl: Double,
+      totalTokens: Long,
+      numShards: Int,
+      docsPerShard: Long,
+      blockSize: Int)
+
+  def docsPath(dir: String) = s"$dir/docs"
+  def normsPath(dir: String) = s"$dir/norms"
+  def dictPath(dir: String) = s"$dir/dictionary"
+  def postingsPath(dir: String) = s"$dir/postings"
+  def statsPath(dir: String): Path = Paths.get(dir, "stats.json")
+  def manifestDir(dir: String): Path = Paths.get(dir, "manifest")
+
+  // ---- stats ----
+
+  def writeStats(dir: String, s: IndexStats): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val json =
+      s"""{"num_docs":${s.numDocs},"avgdl":${s.avgdl},"total_tokens":${s.totalTokens},""" +
+        s""""num_shards":${s.numShards},"docs_per_shard":${s.docsPerShard},"block_size":${s.blockSize}}"""
+    Files.write(statsPath(dir), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def readStats(dir: String): IndexStats = {
+    val json = new String(Files.readAllBytes(statsPath(dir)), StandardCharsets.UTF_8)
+    def f(k: String): String =
+      s""""$k":([-0-9.eE]+)""".r.findFirstMatchIn(json).get.group(1)
+    IndexStats(f("num_docs").toLong, f("avgdl").toDouble, f("total_tokens").toLong,
+      f("num_shards").toInt, f("docs_per_shard").toLong, f("block_size").toInt)
+  }
+
+  // ---- per-stage manifests: lineage + resume markers ----
+  // Analog of the reference's JSON checkpoints
+  // (`src/embedding_generator.py:116-132`): a stage whose manifest is
+  // present and checksum-consistent is skipped on re-run; resume =
+  // "anti-join of done stages" at stage granularity, with
+  // per-partition (shard) row counts recorded for lineage.
+
+  case class StageManifest(
+      stage: String,
+      inputRows: Long,
+      outputRows: Long,
+      checksum: Long,
+      perPartRows: Seq[(String, Long)])
+
+  def manifestPath(dir: String, stage: String): Path =
+    manifestDir(dir).resolve(s"_stage_$stage.json")
+
+  def writeManifest(dir: String, m: StageManifest): Unit = {
+    Files.createDirectories(manifestDir(dir))
+    val parts = m.perPartRows
+      .map { case (k, v) => s"""{"part":"$k","rows":$v}""" }
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"stage":"${m.stage}","input_rows":${m.inputRows},"output_rows":${m.outputRows},""" +
+        s""""checksum":${m.checksum},"partitions":$parts}"""
+    Files.write(manifestPath(dir, m.stage), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def stageDone(dir: String, stage: String): Boolean =
+    Files.exists(manifestPath(dir, stage))
+
+  def readManifestChecksum(dir: String, stage: String): Option[Long] = {
+    if (!stageDone(dir, stage)) None
+    else {
+      val json = new String(Files.readAllBytes(manifestPath(dir, stage)), StandardCharsets.UTF_8)
+      """"checksum":(-?\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+    }
+  }
+
+  /** Snapshot manifest tying the whole segment together. */
+  def writeSnapshot(dir: String, stages: Seq[String]): Unit = {
+    val json = stages.map(s => s""""$s"""").mkString(
+      s"""{"format":"graft-segment-v1","stages":[""", ",", "]}")
+    Files.write(Paths.get(dir, "snapshot.json"), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Order-independent content checksum of a DataFrame: XOR-fold of
+    * xxhash64 over all columns (no overflow under ANSI mode,
+    * deterministic under any row order).
+    */
+  def contentChecksum(df: DataFrame): Long = {
+    val row = df
+      .select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(expr("bit_xor(h)").as("c"))
+      .collect()(0)
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  // ---- readers ----
+
+  def readDocs(spark: SparkSession, dir: String): Dataset[IndexedTurn] = {
+    import spark.implicits._
+    spark.read.parquet(docsPath(dir))
+      .select("doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl", "shard")
+      .as[IndexedTurn]
+  }
+
+  def readDict(spark: SparkSession, dir: String): Dataset[DictEntry] = {
+    import spark.implicits._
+    spark.read.parquet(dictPath(dir)).as[DictEntry]
+  }
+
+  def readNorms(spark: SparkSession, dir: String): Dataset[NormsRow] = {
+    import spark.implicits._
+    spark.read.parquet(normsPath(dir))
+      .select("shard", "n", "first_doc", "dl_bytes")
+      .as[NormsRow]
+  }
+
+  def readPostings(spark: SparkSession, dir: String): Dataset[PostingBlock] = {
+    import spark.implicits._
+    spark.read.parquet(postingsPath(dir))
+      .select("term", "block_id", "n", "first_doc", "last_doc", "doc_bytes",
+        "tf_bytes", "block_max_tf", "block_max_tfnorm", "shard")
+      .as[PostingBlock]
+  }
+}

@@ -1,0 +1,26 @@
+package graft.query
+
+/** BM25 scoring, k1=1.2 b=0.75 per BASELINE.json:north_rule.
+  *
+  * idf = ln((N - df + 0.5) / (df + 0.5) + 1)        (Lucene/Robertson)
+  * tfN = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  * score(doc, q) = Σ_terms idf(t) * tfN(t, doc), summed in
+  * lexicographic term order (fixed fold order => bit-reproducible;
+  * SURVEY.md §7.5).
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  def idf(numDocs: Long, df: Long): Double =
+    math.log((numDocs - df + 0.5) / (df + 0.5) + 1.0)
+
+  def tfNorm(tf: Int, dl: Int, avgdl: Double): Double =
+    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+  def termScore(tf: Int, dl: Int, avgdl: Double, numDocs: Long, df: Long): Double =
+    idf(numDocs, df) * tfNorm(tf, dl, avgdl)
+
+  /** Upper bound of a term's score given its max tf-norm in a block. */
+  def blockMaxScore(idfV: Double, maxTfNorm: Double): Double = idfV * maxTfNorm
+}

@@ -1,0 +1,66 @@
+package graft.tokenize
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The tokenizer contract everything hangs on (SURVEY.md §7.2).
+  *
+  * Semantics mirror the only tokenizer the reference exhibits
+  * (reference `app.py:844-858`): lowercase + hyphen/underscore
+  * normalization, split on non-alphanumeric runs, drop tokens of
+  * length <= 2, drop the reference's stop-word list (copied verbatim
+  * from `app.py:847-855`).
+  *
+  * The same spec exists in three forms that MUST stay identical:
+  *   1. [[tokenize]]     — pure Scala (used by the exact-BM25 oracle
+  *                         and by query analysis)
+  *   2. [[tokensCol]]    — Catalyst column expression (codegen-able,
+  *                         used by the distributed index build)
+  *   3. duckdbTokensSql  — ANSI-ish SQL fragment for the DuckDB
+  *                         correctness oracle (see SparkEntry)
+  */
+object Tokenizer {
+
+  /** Stop words, verbatim from reference `app.py:847-855`. */
+  val StopWords: Set[String] = Set(
+    "a", "an", "the", "of", "in", "on", "at", "to", "for", "with", "by",
+    "and", "or", "but", "is", "are", "was", "were", "be", "been", "being",
+    "have", "has", "had", "do", "does", "did", "will", "would", "should",
+    "could", "may", "might", "must", "can", "this", "that", "these", "those",
+    "as", "from", "into", "onto", "upon", "about", "above", "below", "between",
+    "among", "during", "through", "throughout", "within", "without", "against",
+    "prospective", "randomized", "controlled", "trial", "study", "studies",
+    "effect", "effects", "comparison", "comparing", "treatment", "treatments")
+
+  /** Sorted for deterministic literal-array construction. */
+  val StopWordsSorted: Array[String] = StopWords.toArray.sorted
+
+  val SplitPattern = "[^a-z0-9]+"
+  val MinLen = 3 // keep tokens with length > 2 (reference: `len(w) > 2`)
+
+  private val splitRe = SplitPattern.r
+
+  /** Pure-Scala tokenizer. tf = count of a term within the result;
+    * dl = result length.
+    */
+  def tokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    splitRe
+      .split(text.toLowerCase)
+      .filter(t => t.length >= MinLen && !StopWords.contains(t))
+  }
+
+  /** Column-expression tokenizer — identical semantics to [[tokenize]],
+    * stays inside whole-stage codegen (no UDF).
+    */
+  def tokensCol(text: Column): Column = {
+    val stops = array(StopWordsSorted.map(lit): _*)
+    filter(
+      split(lower(text), SplitPattern),
+      t => length(t) >= lit(MinLen) && !array_contains(stops, t))
+  }
+
+  /** SQL stop-list literal, usable in both Spark SQL and DuckDB. */
+  def stopListSql: String =
+    StopWordsSorted.map(w => s"'$w'").mkString("(", ",", ")")
+}
