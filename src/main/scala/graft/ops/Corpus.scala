@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Turn
+
+/** Deterministic derivation of the north-rule transcript table
+  * (conv_id, turn_idx, role, text, tool, ts) from the driver-provided
+  * `documents.parquet` — expressed with the SAME arithmetic in Spark
+  * and in the DuckDB oracle CTE so the two engines see identical
+  * corpora (8 turns per conversation, role/tool cycles, 1-second ts
+  * steps from a fixed epoch).
+  */
+object Corpus {
+
+  def transcripts(spark: SparkSession, sfDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        concat(lit("c"), lpad(expr("doc_id div 8").cast("string"), 8, "0")).as("conv_id"),
+        (col("doc_id") % 8).cast("int").as("turn_idx"),
+        expr("CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' " +
+          "WHEN 2 THEN 'system' ELSE 'tool' END").as("role"),
+        col("text"),
+        expr("CASE doc_id % 7 WHEN 0 THEN 'bash' WHEN 1 THEN 'read' " +
+          "WHEN 2 THEN 'grep' ELSE '' END").as("tool"),
+        expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)").as("ts"))
+      .as[Turn]
+  }
+
+  /** DuckDB CTE computing the identical table from `documents`. */
+  val transcriptsCte: String =
+    """t AS (
+      |  SELECT 'c' || lpad(CAST(doc_id // 8 AS VARCHAR), 8, '0') AS conv_id,
+      |         CAST(doc_id % 8 AS INT) AS turn_idx,
+      |         CASE doc_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+      |              WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+      |         text,
+      |         CASE doc_id % 7 WHEN 0 THEN 'bash' WHEN 1 THEN 'read'
+      |              WHEN 2 THEN 'grep' ELSE '' END AS tool,
+      |         TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS ts
+      |  FROM documents
+      |)""".stripMargin
+}
