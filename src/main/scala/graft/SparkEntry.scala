@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.api.SearchEngine
 import graft.index.{IndexBuilder, SegmentIO}
 import graft.model.QuerySpec
-import graft.ops.Corpus
+import graft.ops.{Corpus, Dedup, Hashing, Multimodal, Similarity, TextOps}
 import graft.query.OracleEngine
 import graft.tokenize.Tokenizer
 
@@ -186,12 +186,253 @@ object SparkEntry {
         size(array_distinct(Tokenizer.tokensCol(col("text")))).cast("long").as("n_distinct"))
         .filter(col("doc_id") < 100)
         .orderBy("doc_id")
+    }),
+    "q_token_counts" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 100)
+      docs.select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("n_ws"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    }),
+    "q_quality" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 100)
+      TextOps.qualityMetrics(docs, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n") > 1).orderBy("fp")
+    }),
+    // ---- dedup: MinHash+LSH, SimHash, n-gram Jaccard ----
+    "q_minhash_lsh" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minhashDedup(docs, col("doc_id"), col("text"),
+        shingleSize = 2, numHashes = 16, bands = 4, tau = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q_simhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 50)
+      Dedup.simhash(docs, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 200)
+      Dedup.ngramJaccardJoin(docs, col("doc_id"), col("text"), n = 2, tau = 0.15)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    // ---- similarity search over embeddings ----
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.cosineTopK(emb, col("vec_id"), col("embedding"), probeId = 0L, k = 10)
+        .select(col("id").as("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id")
+    }),
+    "q_knn_join" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.knnJoin(emb, col("vec_id"), col("embedding"), probeMaxId = 5L, k = 3)
+        .select(col("pid"), col("id").as("vec_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("pid", "rank")
+    }),
+    "q_lsh_buckets" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      emb.select(Similarity.lshBucket(col("embedding"), dim = 64, planes = 8).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+    // ---- multimodal: binary payload plumbing + stubbed decode ----
+    "q_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 60)
+        .select(col("doc_id").as("id"), col("text").as("payload"))
+      val media = Multimodal.synthesize(docs).as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(s, media)
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          round(col("byte_entropy"), 6).as("entropy"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          col("frames_sampled"))
+        .orderBy("media_id")
     })
   )
+
+  // tokens with length filter only (the dedup/fingerprint paths do
+  // not stop-word-filter, matching Dedup.shingles / TextOps.fingerprint)
+  private val tkLenSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) >= 3)"
+
+  private def minhashLshSql(n: Int, tau: Double): String = {
+    val mins = (0 until 16)
+      .map(i => s"min(${Hashing.minhashPermSql(i, "sh")}) AS mh$i").mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (b * 4 until (b + 1) * 4).map(i => s"mh$i::VARCHAR").mkString(" || ',' || ")
+      s"SELECT id, $b AS band, ${Hashing.hash32Sql(s"($cols)")} AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val shingleExpr =
+      s"""unnest(list_transform(range(0, len(tk) - ${n - 1}),
+         |    i -> ${(0 until n).map(j => s"tk[i+${j + 1}]").mkString(" || ' ' || ")}))""".stripMargin
+    s"""WITH tk0 AS (SELECT doc_id AS id, $tkLenSql AS tk FROM documents),
+       |tk AS (SELECT id, tk FROM tk0 WHERE len(tk) >= $n),
+       |sh AS (SELECT DISTINCT id, ${Hashing.hash32Sql("shingle")} AS sh
+       |       FROM (SELECT id, $shingleExpr AS shingle FROM tk)),
+       |sig AS (SELECT id,
+       |    $mins
+       |  FROM sh GROUP BY id),
+       |bk AS ($bandSelects),
+       |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |         FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket
+       |              AND l.id < r.id),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+       |  WHERE (a.id, b.id) IN (SELECT (id_a, id_b) FROM cand)
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i.id_a, i.id_b,
+       |         i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS jaccard
+       |  FROM inter i JOIN sizes sa ON i.id_a = sa.id
+       |       JOIN sizes sb ON i.id_b = sb.id)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
+       |WHERE jaccard >= $tau ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val sums = (0 until 32).map(bit =>
+      s"sum(CASE WHEN (h >> $bit) % 2 = 1 THEN tf ELSE -tf END) AS s$bit")
+      .mkString(",\n    ")
+    val sig = (0 until 32)
+      .map(bit => s"CASE WHEN s$bit > 0 THEN ${1L << bit} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tf AS (
+       |  SELECT doc_id AS id, term, count(*) AS tf, ${Hashing.hash32Sql("term")} AS h
+       |  FROM (SELECT doc_id, unnest($tkLenSql) AS term FROM documents WHERE doc_id < 50)
+       |  GROUP BY doc_id, term),
+       |sums AS (SELECT id, $sums FROM tf GROUP BY id)
+       |SELECT id AS doc_id, ($sig)::BIGINT AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  private def ngramJaccardSql(n: Int, tau: Double, maxDf: Int): String =
+    s"""WITH tk AS (SELECT doc_id AS id, $tkLenSql AS tk FROM documents WHERE doc_id < 200),
+       |sh0 AS (SELECT DISTINCT id, sh FROM (
+       |  SELECT id, unnest(list_transform(range(0, len(tk) - ${n - 1}),
+       |    i -> ${(0 until n).map(j => s"tk[i+${j + 1}]").mkString(" || ' ' || ")})) AS sh
+       |  FROM tk WHERE len(tk) >= $n)),
+       |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $maxDf),
+       |shf AS (SELECT id, sh FROM sh0 WHERE sh IN (SELECT sh FROM rare)),
+       |sizes AS (SELECT id, count(*) AS sz FROM sh0 GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT i.id_a, i.id_b,
+       |         i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) AS jaccard
+       |  FROM inter i JOIN sizes sa ON i.id_a = sa.id
+       |       JOIN sizes sb ON i.id_b = sb.id)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
+       |WHERE jaccard >= $tau ORDER BY id_a, id_b""".stripMargin
+
+  private val cosSql =
+    """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      | sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
+
+  private def lshBucketSql(dim: Int, planes: Int): String = {
+    val bits = (0 until planes).map { j =>
+      s"""CASE WHEN list_dot_product(embedding::DOUBLE[],
+         |  list_transform(range(0, $dim),
+         |    d -> ((1103515245 * (${j.toLong * dim} + d) + 12345) % 65536)::DOUBLE / 65536.0 - 0.5)
+         |  ) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"($bits)::BIGINT"
+  }
 
   def oracleSql: Map[String, String] = {
     val stop = Tokenizer.stopListSql
     Map(
+      "q_token_counts" ->
+        """SELECT doc_id,
+          |  len(list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0))::BIGINT AS n_ws,
+          |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpeish
+          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+      "q_quality" ->
+        s"""WITH w AS (
+           |  SELECT doc_id,
+           |         text,
+           |         list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS ws
+           |  FROM documents WHERE doc_id < 100)
+           |SELECT doc_id,
+           |  length(text)::BIGINT AS n_chars,
+           |  len(ws)::BIGINT AS n_ws_tokens,
+           |  round(len(list_filter(ws, t -> lower(t) IN $stop))::DOUBLE /
+           |        greatest(len(ws), 1), 6) AS stopword_ratio,
+           |  round(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE /
+           |        greatest(length(text), 1), 6) AS upper_ratio,
+           |  round(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))::DOUBLE /
+           |        greatest(length(text), 1), 6) AS punct_ratio,
+           |  round(list_sum(list_transform(ws, t -> length(t)))::DOUBLE /
+           |        greatest(len(ws), 1), 6) AS mean_word_len
+           |FROM w ORDER BY doc_id""".stripMargin,
+      "q_fingerprint" ->
+        s"""WITH fp AS (
+           |  SELECT doc_id,
+           |         md5(array_to_string(list_sort(list_distinct($tkLenSql)), ' ')) AS fp
+           |  FROM documents)
+           |SELECT fp, count(*) AS n, min(doc_id) AS min_doc FROM fp
+           |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+      "q_minhash_lsh" -> minhashLshSql(2, 0.2),
+      "q_simhash" -> simhashSql,
+      "q_ngram_jaccard" -> ngramJaccardSql(2, 0.15, 1000),
+      "q_ann_cosine" ->
+        s"""WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT a.vec_id, $cosSql AS cos
+           |  FROM embeddings a, (SELECT 0 AS vid, embedding FROM probe) b
+           |  WHERE a.vec_id <> 0),
+           |topk AS (SELECT * FROM scored ORDER BY cos DESC, vec_id LIMIT 10)
+           |SELECT vec_id, round(cos, 6) AS cos FROM topk ORDER BY vec_id""".stripMargin,
+      "q_knn_join" ->
+        s"""WITH scored AS (
+           |  SELECT b.vec_id AS pid, a.vec_id AS vec_id, $cosSql AS cos
+           |  FROM embeddings a JOIN embeddings b
+           |    ON b.vec_id < 5 AND a.vec_id <> b.vec_id),
+           |ranked AS (
+           |  SELECT pid, vec_id, cos,
+           |         row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT pid, vec_id, rank::INT AS rank, round(cos, 6) AS cos FROM ranked
+           |WHERE rank <= 3 ORDER BY pid, rank""".stripMargin,
+      "q_lsh_buckets" ->
+        s"""SELECT ${lshBucketSql(64, 8)} AS bucket, count(*) AS n
+           |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "q_media_features" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id,
+          |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+          |         text,
+          |         CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 100 + 1) * 250 ELSE 0 END AS duration_ms
+          |  FROM documents WHERE doc_id < 60),
+          |chars AS (
+          |  SELECT media_id, ascii(c) AS byte, count(*) AS cnt
+          |  FROM (SELECT media_id, unnest(regexp_extract_all(text, '.')) AS c FROM m)
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT media_id, sum(cnt) AS n, sum(byte * cnt) AS bsum FROM chars GROUP BY 1),
+          |ent AS (
+          |  SELECT c.media_id,
+          |         -sum((c.cnt::DOUBLE / t.n) * ln(c.cnt::DOUBLE / t.n) / ln(2.0)
+          |              ORDER BY c.byte) AS entropy
+          |  FROM chars c JOIN tot t USING (media_id) GROUP BY c.media_id)
+          |SELECT m.media_id, m.modality, t.n::BIGINT AS n_bytes,
+          |       round(e.entropy, 6) AS entropy,
+          |       round(t.bsum::DOUBLE / t.n, 6) AS mean_byte,
+          |       (CASE WHEN m.modality = 'image' THEN 1
+          |             ELSE greatest(1, m.duration_ms // 1000) END)::INT AS frames_sampled
+          |FROM m JOIN tot t USING (media_id) JOIN ent e USING (media_id)
+          |ORDER BY media_id""".stripMargin,
       "q_bm25_topk" -> bm25TopkSql(Seq("stream", "vector", "window"), 10),
       "q_bm25_topk_large" -> bm25TopkSql(Seq("batch", "customer", "join", "merge"), 50),
       "q_bm25_and" -> bm25TopkSql(Seq("join", "merge", "sort"), 15, conjunctive = true),

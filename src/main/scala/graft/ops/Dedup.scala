@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.tokenize.Tokenizer
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH (shingle → signature → banded
+  * bucket join → verified Jaccard), SimHash, and n-gram Jaccard
+  * similarity join.
+  *
+  * Scale notes: every stage is shuffle-bounded (no driver
+  * collection); the LSH band join replaces the O(n²) pair space with
+  * per-bucket joins; the exact-Jaccard verification only touches LSH
+  * candidates. Hot buckets (boilerplate shingles) are bounded by
+  * dropping shingles with document frequency above `maxShingleDf`
+  * (the standard stop-shingle guard).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash. */
+  def exact(df: DataFrame, id: Column, content: Column): DataFrame =
+    df.groupBy(md5(content).as("content_hash"))
+      .agg(count(lit(1)).as("n"), min(id).as("keep_id"))
+      .filter(col("n") > 1)
+
+  /** Distinct token n-gram shingles per document:
+    * (id, shingle_hash) with portable 32-bit hashes.
+    */
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val toks = df.select(id.as("id"),
+      split(lower(text), Tokenizer.SplitPattern).as("raw"))
+      .select(col("id"), filter(col("raw"), t => length(t) >= Tokenizer.MinLen).as("tk"))
+    // n-gram join: transform over a 0..len-n index sequence
+    toks
+      .filter(size(col("tk")) >= n)
+      .select(col("id"), explode(
+        transform(sequence(lit(0), size(col("tk")) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("tk"), i + j + 1)): _*)))
+        .as("shingle"))
+      .distinct()
+      .select(col("id"), col("shingle"), Hashing.hash32(col("shingle")).as("sh"))
+  }
+
+  /** MinHash signatures: one row per doc with numHashes min-perm
+    * columns mh0..mh{k-1} (single hash-agg pass, map-side partial).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(Hashing.minhashPerm(i, col("sh"))).as(s"mh$i"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: bucket id per (band, banded-signature-hash);
+    * candidate pairs are docs sharing any bucket.
+    */
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        Hashing.hash32(concat_ws(",",
+          (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"mh$i").cast("string")): _*))
+          .as("bucket"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given candidate pairs via shared-shingle
+    * counts: |A∩B| / (|A| + |B| - |A∩B|).
+    */
+  def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .join(pairs, col("a.id") === pairs("id_a") && col("b.id") === pairs("id_b"), "left_semi")
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
+    * candidate pairs → exact-verify ≥ tau.
+    */
+  def minhashDedup(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      tau: Double = 0.6): DataFrame = {
+    val sh = shingles(df, id, text, shingleSize).select(col("id"), col("sh")).distinct()
+    val sig = minhashSignatures(sh, numHashes)
+    val cand = lshCandidates(sig, numHashes, bands)
+    verifyJaccard(sh, cand).filter(col("jaccard") >= tau)
+  }
+
+  /** 32-bit SimHash per document: bit b of the signature is the sign
+    * of Σ_terms tf * (bit_b(hash(term)) ? +1 : -1).
+    */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tf = df.select(id.as("id"),
+      explode(split(lower(text), Tokenizer.SplitPattern)).as("term"))
+      .filter(length(col("term")) >= Tokenizer.MinLen)
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", Hashing.hash32(col("term")))
+    val bitSums = (0 until 32).map(bit =>
+      sum(when(shiftright(col("h"), bit) % 2 === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$bit"))
+    val sums = tf.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32)
+      .map(bit => when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity join over the full corpus:
+    * shared-shingle equi-join prefilter (only pairs with ≥1 common
+    * shingle are materialized), then exact verification. Stop-shingle
+    * guard caps join fan-out for boilerplate n-grams.
+    */
+  def ngramJaccardJoin(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      tau: Double = 0.5,
+      maxShingleDf: Int = 1000): DataFrame = {
+    val sh0 = shingles(df, id, text, n).select(col("id"), col("sh"))
+    val rare = sh0.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
+      .filter(col("sdf") <= maxShingleDf)
+    val sh = sh0.join(rare, "sh").select(col("id"), col("sh"))
+    val sizes = sh0.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+}
