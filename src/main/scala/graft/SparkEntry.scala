@@ -245,6 +245,146 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     }),
+    // ---- relational operator inventory (SURVEY §2.1-2.7) ----
+    // J1/S7: top-k by measure + broadcast metadata join
+    "q_topk_meta_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val top = orders.orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(20)
+      top.join(broadcast(cust), top("o_custkey") === cust("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderkey")
+    }),
+    // J2/O2: semi/anti-join membership flags
+    "q_semi_anti" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val withO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
+      val withoutO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("without_orders"))
+      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+        .na.fill(0L, Seq("with_orders", "without_orders"))
+        .orderBy("c_mktsegment")
+    }),
+    // J3/S11: export join with default fill (screening-decision analog)
+    "q_screening_export" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet").filter(col("o_orderkey") <= 200)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_orderkey")).agg(max(col("l_returnflag")).as("decision"))
+      orders.join(li, orders("o_orderkey") === li("l_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("decision"), lit("Not Screened")).as("decision"),
+          col("o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+    // J4: fuzzy word-overlap similarity join (reference app.py:876-896:
+    // overlap = |A∩B|/|A| >= 0.6 with >= 3 matching meaningful words)
+    "q_fuzzy_overlap_join" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def tk(c: org.apache.spark.sql.Column) =
+        array_distinct(Tokenizer.tokensCol(c))
+      val a = docs.filter(col("doc_id") < 25)
+        .select(col("doc_id").as("id_a"), tk(col("text")).as("tk_a"))
+      val b = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+        .select(col("doc_id").as("id_b"), tk(col("text")).as("tk_b"))
+      a.crossJoin(b)
+        .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
+        .withColumn("overlap", col("inter").cast("double") / size(col("tk_a")))
+        .filter(col("inter") >= 3 && col("overlap") >= 0.6)
+        .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+          round(col("overlap"), 6).as("overlap"))
+        .orderBy("id_a", "id_b")
+    }),
+    // F4: review-exclusion predicate (keyword markers, prefix window)
+    "q_exclusion_filter" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.filter(!(contains(substring(col("text"), 1, 200), lit("dup")) ||
+          contains(col("text"), lit("stream"))))
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+        .orderBy("source")
+    }),
+    // window functions: per-group top-n ranking
+    "q_window_rank" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      orders.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority", "rank")
+    }),
+    // sessionization: 30-min-gap sessions via lag + running sum
+    "q_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withGap = ev.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+      withGap.withColumn("session_id", sum(col("new_session")).over(byUser))
+        .groupBy("user_id")
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+    // tumbling time-window aggregation
+    "q_event_windows" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+    // O1/O3: union + intersect/except set semantics
+    "q_set_ops" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val hi = orders.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val both = hi.intersect(urgent).count()
+      val hiOnly = hi.except(urgent).count()
+      val all = hi.union(urgent).distinct().count()
+      import s.implicits._
+      Seq((both, hiOnly, all)).toDF("both", "hi_only", "union_distinct")
+    }),
+    // scalar functions: regex extraction + JSON field access
+    "q_scalar_funcs" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet").filter(col("event_id") < 100)
+      ev.select(col("event_id"),
+        regexp_extract(col("event_type"), "^([a-z]+)", 1).as("etype"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        translate(upper(col("event_type")), "_", " ").as("norm"))
+        .orderBy("event_id")
+    }),
+    // S8: LIKE/pattern scan
+    "q_like_scan" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.filter(col("text").contains("vector window") ||
+          col("text").startsWith("the fast"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+    // date bucketing
+    "q_date_ops" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("qty"))
+        .orderBy("ship_month")
+    }),
+    // Q9: recall/match statistics against a known-relevant set
+    "q_recall_stats" -> ((s, dir) => {
+      import s.implicits._
+      val included = Seq(("c00000000", 1), ("c00000001", 2), ("c00000062", 3),
+        ("c00000040", 0), ("c00000055", 5))
+      val resp = engine(s, dir).search(QuerySpec("vector window stream", topK = 10,
+        includeKeys = included))
+      val st = resp.stats.get
+      Seq((st.matched, st.missed, st.newCandidates, st.recall))
+        .toDF("matched", "missed", "new_candidates", "recall")
+    }),
     // ---- multimodal: binary payload plumbing + stubbed decode ----
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -384,6 +524,118 @@ object SparkEntry {
            |  FROM documents)
            |SELECT fp, count(*) AS n, min(doc_id) AS min_doc FROM fp
            |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+      "q_topk_meta_join" ->
+        """WITH top AS (SELECT * FROM orders
+          |            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+          |SELECT o_orderkey, c_name, round(o_totalprice, 2) AS total
+          |FROM top JOIN customer ON o_custkey = c_custkey
+          |ORDER BY o_orderkey""".stripMargin,
+      "q_semi_anti" ->
+        """WITH w AS (
+          |  SELECT c_mktsegment, count(*) AS with_orders FROM customer
+          |  WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1),
+          |wo AS (
+          |  SELECT c_mktsegment, count(*) AS without_orders FROM customer
+          |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1)
+          |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+          |       coalesce(with_orders, 0) AS with_orders,
+          |       coalesce(without_orders, 0) AS without_orders
+          |FROM w FULL JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+          |ORDER BY c_mktsegment""".stripMargin,
+      "q_screening_export" ->
+        """SELECT o_orderkey,
+          |       coalesce(d.decision, 'Not Screened') AS decision,
+          |       o_orderstatus
+          |FROM orders LEFT JOIN (
+          |  SELECT l_orderkey, max(l_returnflag) AS decision
+          |  FROM lineitem GROUP BY 1) d ON o_orderkey = d.l_orderkey
+          |WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+      "q_fuzzy_overlap_join" -> {
+        val tkDistinct =
+          s"""list_distinct(list_filter(
+             |  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             |  x -> length(x) >= 3 AND x NOT IN $stop))""".stripMargin
+        s"""WITH a AS (SELECT doc_id AS id_a, $tkDistinct AS tk_a
+           |           FROM documents WHERE doc_id < 25),
+           |b AS (SELECT doc_id AS id_b, $tkDistinct AS tk_b
+           |      FROM documents WHERE doc_id >= 25 AND doc_id < 50),
+           |j AS (
+           |  SELECT id_a, id_b, len(list_intersect(tk_a, tk_b)) AS inter,
+           |         len(list_intersect(tk_a, tk_b))::DOUBLE / len(tk_a) AS overlap
+           |  FROM a CROSS JOIN b)
+           |SELECT id_a, id_b, inter::BIGINT AS inter, round(overlap, 6) AS overlap
+           |FROM j WHERE inter >= 3 AND overlap >= 0.6
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+      "q_exclusion_filter" ->
+        """SELECT source, count(*) AS kept FROM documents
+          |WHERE NOT (contains(substr(text, 1, 200), 'dup') OR contains(text, 'stream'))
+          |GROUP BY source ORDER BY source""".stripMargin,
+      "q_window_rank" ->
+        """WITH r AS (
+          |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY o_orderpriority
+          |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          |  FROM orders)
+          |SELECT o_orderpriority, rank::INT AS rank, o_orderkey,
+          |       round(o_totalprice, 2) AS total
+          |FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+      "q_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, event_id, ts,
+          |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+          |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |                OR floor(epoch(ts))::BIGINT -
+          |                   floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 1800
+          |              THEN 1 ELSE 0 END AS new_session
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id,
+          |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                                ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM g)
+          |SELECT user_id, max(session_id)::BIGINT AS n_sessions,
+          |       count(*) AS n_events
+          |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q_event_windows" ->
+        """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+          |       round(sum(value), 4) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+      "q_set_ops" ->
+        """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+          |urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+          |SELECT
+          |  (SELECT count(*) FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent)) AS both,
+          |  (SELECT count(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM urgent)) AS hi_only,
+          |  (SELECT count(DISTINCT o_custkey) FROM (SELECT * FROM hi UNION ALL SELECT * FROM urgent)) AS union_distinct""".stripMargin,
+      "q_scalar_funcs" ->
+        """SELECT event_id,
+          |       regexp_extract(event_type, '^([a-z]+)', 1) AS etype,
+          |       json_extract_string(props, '$.k')::BIGINT AS k,
+          |       translate(upper(event_type), '_', ' ') AS norm
+          |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin,
+      "q_like_scan" ->
+        """SELECT lang, count(*) AS n FROM documents
+          |WHERE contains(text, 'vector window') OR text LIKE 'the fast%'
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+      "q_date_ops" ->
+        """SELECT date_trunc('month', l_shipdate) AS ship_month, count(*) AS n,
+          |       round(sum(l_quantity), 4) AS qty
+          |FROM lineitem GROUP BY 1 ORDER BY ship_month""".stripMargin,
+      "q_recall_stats" ->
+        s"""${bm25Ctes(Seq("stream", "vector", "window"))},
+           |topk AS (SELECT conv_id, turn_idx FROM scored
+           |         ORDER BY score DESC, conv_id, turn_idx LIMIT 10),
+           |inc(conv_id, turn_idx) AS (VALUES
+           |  ('c00000000', 1), ('c00000001', 2), ('c00000062', 3),
+           |  ('c00000040', 0), ('c00000055', 5)),
+           |m AS (SELECT count(*) AS matched FROM inc
+           |      WHERE (conv_id, turn_idx) IN (SELECT (conv_id, turn_idx) FROM topk)),
+           |nw AS (SELECT count(*) AS new_candidates FROM topk
+           |       WHERE (conv_id, turn_idx) NOT IN (SELECT (conv_id, turn_idx) FROM inc))
+           |SELECT m.matched, (5 - m.matched) AS missed, nw.new_candidates,
+           |       round(m.matched::DOUBLE / 5, 4) AS recall
+           |FROM m, nw""".stripMargin,
       "q_minhash_lsh" -> minhashLshSql(2, 0.2),
       "q_simhash" -> simhashSql,
       "q_ngram_jaccard" -> ngramJaccardSql(2, 0.15, 1000),
