@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data ops: planted-case correctness. */
+class OpsSpec extends SparkSpec {
+
+  import scala.jdk.CollectionConverters._
+
+  private lazy val docsDF = {
+    import spark.implicits._
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 0
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near dup of 0
+      (3L, "completely different words here nothing shared whatsoever really"),
+      (4L, "theta eta zeta epsilon delta gamma beta alpha"), // same set, reversed
+      (5L, "mid overlap alpha beta gamma something else entirely now"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds the planted duplicate group") {
+    val groups = Dedup.exact(docsDF, col("doc_id"), col("text")).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n") == 2 && groups(0).getAs[Long]("keep_id") == 0L)
+  }
+
+  test("fingerprint dedup is word-order insensitive") {
+    val fps = docsDF.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) == fps(1L) && fps(0L) == fps(4L)) // reversal collapses
+    assert(fps(0L) != fps(2L) && fps(0L) != fps(3L))
+  }
+
+  test("minhash LSH surfaces near-dups, verified jaccard is exact") {
+    val pairs = Dedup.minhashDedup(docsDF, col("doc_id"), col("text"),
+      shingleSize = 1, numHashes = 16, bands = 8, tau = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact dups and the reversal must collide in every band
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 4L)) && pairs((0L, 4L)) == 1.0)
+    // near-dup 0-2: unigram jaccard = 7/9
+    pairs.get((0L, 2L)).foreach(j => assert(math.abs(j - 7.0 / 9) < 1e-12))
+    // unrelated docs must not pair
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical sets equal, near-dups close, distinct far") {
+    val sh = Dedup.simhash(docsDF, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(0L) == sh(1L) && sh(0L) == sh(4L))
+    assert(hamming(sh(0L), sh(2L)) <= 10)
+    assert(hamming(sh(0L), sh(3L)) > hamming(sh(0L), sh(2L)))
+  }
+
+  test("ngram jaccard join matches a local brute-force computation") {
+    val got = Dedup.ngramJaccardJoin(docsDF, col("doc_id"), col("text"), n = 2, tau = 0.01)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val local = docsDF.collect().map(r => (r.getLong(0),
+      graft.tokenize.Tokenizer.SplitPattern.r.split(r.getString(1).toLowerCase)
+        .filter(_.length >= 3).sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet))
+    for {
+      (ia, sa) <- local
+      (ib, sb) <- local
+      if ia < ib
+    } {
+      val inter = (sa intersect sb).size
+      if (inter > 0) {
+        val j = inter.toDouble / (sa.size + sb.size - inter)
+        if (j >= 0.01)
+          assert(math.abs(got((ia, ib)) - j) < 1e-12, s"pair ($ia,$ib)")
+        else assert(!got.contains((ia, ib)))
+      } else assert(!got.contains((ia, ib)))
+    }
+  }
+
+  private lazy val embDF = {
+    import spark.implicits._
+    // deterministic vectors: v(i)[d] = sin-free pure function; v(1) = 2*v(0)
+    def vec(i: Int): Seq[Float] =
+      (0 until 8).map(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f)
+    (Seq(0, 2, 3, 4, 5).map(i => (i.toLong, vec(i))) :+
+      (1L, vec(0).map(_ * 2f))) // colinear with 0 → cosine 1
+      .toDF("vec_id", "embedding")
+  }
+
+  test("cosine top-k: colinear vector ranks first with cosine 1") {
+    val top = Similarity.cosineTopK(embDF, col("vec_id"), col("embedding"), 0L, 3)
+      .collect()
+    assert(top(0).getLong(0) == 1L && math.abs(top(0).getDouble(1) - 1.0) < 1e-12)
+    // matches a local brute force over all candidates
+    val local = embDF.collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .filter(_._1 != 0L)
+    val q = local.find(_._1 == 1L).get._2.map(_ / 2) // = vec(0)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = local.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(3)
+    assert(top.map(_.getLong(0)).toSeq == expected.map(_._1).toSeq)
+    top.zip(expected).foreach { case (g, (_, c)) =>
+      assert(math.abs(g.getDouble(1) - c) < 1e-9)
+    }
+  }
+
+  test("LSH cosine: colinear vectors share a bucket and verify at cos=1") {
+    val pairs = Similarity.lshCosinePairs(embDF, col("vec_id"), col("embedding"),
+      dim = 8, planes = 6, tau = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), "colinear pair must share every hyperplane side")
+  }
+
+  test("language ID on real sentences") {
+    assert(TextOps.langId("the quick brown fox is in the garden with a dog") == "en")
+    assert(TextOps.langId("der hund ist nicht mit der katze und das haus") == "de")
+    assert(TextOps.langId("le chat est dans la maison et les oiseaux") == "fr")
+    assert(TextOps.langId("el perro es grande y los gatos no son una cosa") == "es")
+    assert(TextOps.langId("xyzzy qwerty plugh") == "und")
+    // column twin agrees
+    import spark.implicits._
+    val texts = Seq("the cat is on the mat", "der hund und die katze",
+      "le chat et la souris", "el gato y los perros", "zzz qqq")
+    val got = texts.toDF("text").select(TextOps.langIdCol(col("text"))).collect()
+      .map(_.getString(0))
+    assert(got.toSeq == texts.map(TextOps.langId))
+  }
+
+  test("quality metrics hand-check") {
+    import spark.implicits._
+    val m = TextOps.qualityMetrics(
+      Seq((1L, "The cat SAT on, the mat!")).toDF("id", "t"), col("id"), col("t"))
+      .collect()(0)
+    assert(m.getAs[Long]("n_chars") == 24)
+    assert(m.getAs[Long]("n_ws_tokens") == 6)
+    // stop words among ws tokens (lowercased): the, on(,)?  "on," is not
+    // in the list (punctuation attached) → the, the = 2/6
+    assert(math.abs(m.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-6)
+    assert(math.abs(m.getAs[Double]("upper_ratio") - 4.0 / 24) < 1e-6) // T,SAT
+    assert(math.abs(m.getAs[Double]("punct_ratio") - 2.0 / 24) < 1e-6) // , !
+  }
+
+  test("rolling hash: deterministic, order-sensitive") {
+    assert(TextOps.rollingHash("abc") == TextOps.rollingHash("abc"))
+    assert(TextOps.rollingHash("abc") != TextOps.rollingHash("acb"))
+    assert(TextOps.rollingHash("") == 0L)
+    assert(TextOps.rollingHash("a") == 'a'.toLong)
+  }
+
+  test("multimodal plumbing: stub decode features are well-formed") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", Array.fill[Byte](64)(7), 16, 16, 0),
+      Multimodal.MediaRow(1L, "audio", (0 until 256).map(_.toByte).toArray, 0, 0, 4000),
+      Multimodal.MediaRow(2L, "video", Array.tabulate[Byte](128)(i => (i % 2).toByte), 32, 32, 2500))
+      .toDS()
+    val feats = Multimodal.extractFeatures(spark, media, frameSampleEvery = 1000)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).byte_entropy == 0.0) // constant bytes → zero entropy
+    assert(math.abs(feats(1).byte_entropy - 8.0) < 1e-9) // uniform 256 → 8 bits
+    assert(math.abs(feats(2).byte_entropy - 1.0) < 1e-9) // two equiprobable
+    assert(feats(0).frames_sampled == 1) // image
+    assert(feats(1).frames_sampled == 4) // 4000/1000
+    assert(feats(2).frames_sampled == 2) // 2500/1000
+    assert(feats.forall(_.feature.length == 8))
+  }
+}
