@@ -30,10 +30,15 @@ object SparkEntry {
     * no-op) and shared across engine-backed queries.
     */
   private val idxCache = TrieMap[String, String]()
+  /** Bump when the segment schema changes — keys the on-disk cache so
+    * a stale index from an older build never gets read.
+    */
+  private val SegmentFormatVersion = 2
   private def indexFor(spark: SparkSession, sfDir: String): String =
     idxCache.getOrElseUpdate(sfDir, {
-      val dir = "/tmp/graft-qidx-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(sfDir.getBytes).map("%02x".format(_)).mkString.take(12)
+      val dir = s"/tmp/graft-qidx-v$SegmentFormatVersion-" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes).map("%02x".format(_)).mkString.take(12)
       IndexBuilder.build(spark, Corpus.transcripts(spark, sfDir), dir,
         IndexBuilder.Config(blockSize = 32, numShards = 8, numPartitions = 8))
       dir

@@ -46,7 +46,11 @@ object IndexBuilder {
       blockSize: Int = 128,
       numShards: Int = 32,
       numPartitions: Int = 32,
-      salts: Int = 1)
+      salts: Int = 1,
+      // cache the input Dataset across the docs stage's multiple
+      // passes; disable when the input is already a file-backed table
+      // (re-scanning parquet is cheaper than first-touching cache pages)
+      cacheInput: Boolean = true)
 
   /** One salted sub-posting run: a doc-ordered slice of one term's
     * postings within a shard (salt = hash(doc_id) % salts).
@@ -82,8 +86,10 @@ object IndexBuilder {
     spark.createDataset(rdd)
   }
 
-  /** (term, doc_id, tf, dl, shard) from the doc store — re-derived
-    * per stage so stages stay independently resumable.
+  /** Raw token occurrences (shard, term, doc_id, dl), one row per
+    * occurrence — term frequencies are counted later inside the
+    * posting encoder from the sorted stream, so the build has exactly
+    * ONE wide shuffle over the token relation.
     *
     * Tokenizer semantics identical to [[Tokenizer.tokensCol]], but
     * the stop-word filter runs on the EXPLODED column as a regular
@@ -92,15 +98,13 @@ object IndexBuilder {
     * higher-order filter() re-builds the literal array per token —
     * measured 5x slower on the build hot path.
     */
-  private def termFreqs(spark: SparkSession, docs: Dataset[IndexedTurn]) = {
+  private def rawTokens(spark: SparkSession, docs: Dataset[IndexedTurn]) = {
     import spark.implicits._
     docs
       .select($"doc_id", $"dl", $"shard",
         explode(split(lower($"text"), Tokenizer.SplitPattern)).as("term"))
       .filter(length($"term") >= Tokenizer.MinLen &&
         !$"term".isin(Tokenizer.StopWordsSorted.toSeq: _*))
-      .groupBy($"term", $"doc_id", $"dl", $"shard")
-      .agg(count(lit(1)).cast("int").as("tf"))
   }
 
   private def timed[T](stage: String)(f: => T): T = {
@@ -121,79 +125,87 @@ object IndexBuilder {
     // ---- stage 1: docs ----
     if (!stageDone(dir, "docs")) timed("docs") {
       // the input lineage is walked several times (count, range-
-      // partitioner sample, sort, rank) — materialize it once
-      val cached = turns.persist(StorageLevel.MEMORY_AND_DISK)
-      val n = cached.count()
+      // partitioner sample, sort, rank) — materialize generated
+      // inputs once; file-backed inputs re-scan instead
+      val cached =
+        if (cfg.cacheInput) turns.persist(StorageLevel.MEMORY_AND_DISK) else turns
+      val n = timed("docs.count")(cached.count())
       val docsPerShard = math.max(1L, (n + cfg.numShards - 1) / cfg.numShards)
-      val ids = assignDocIds(spark, cached, cfg.numPartitions, docsPerShard)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ids.write.mode("overwrite").partitionBy("shard").parquet(docsPath(dir))
-      // manifest counts/checksum from the pre-write data (same rows;
-      // avoids a full re-read of what was just written)
-      val perShard = ids.groupBy("shard").count()
-        .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
-      writeStats(dir, IndexStats(n, 0.0, 0L, cfg.numShards, docsPerShard, cfg.blockSize))
-      writeManifest(dir, StageManifest("docs", n, n,
-        contentChecksum(ids.select("doc_id", "conv_id", "turn_idx")), perShard))
+      val ids = timed("docs.assign")(assignDocIds(spark, cached, cfg.numPartitions, docsPerShard)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+      timed("docs.write")(ids.write.mode("overwrite").parquet(docsPath(dir)))
+      // manifest counts + lineage checksum in ONE job over the
+      // pre-write cache (per-shard XOR checksums fold to the global)
+      val shardRows = timed("docs.manifest")(ids
+        .groupBy("shard")
+        .agg(count(lit(1)).as("c"),
+          expr("bit_xor(xxhash64(doc_id, conv_id, turn_idx))").as("x"),
+          sum($"dl").as("tok"))
+        .collect())
+      val perShard = shardRows.map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
+      val checksum = shardRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
+        .foldLeft(0L)(_ ^ _)
+      val totalTokens = shardRows.map(r => if (r.isNullAt(3)) 0L else r.getLong(3)).sum
+      val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
+      writeStats(dir, IndexStats(n, avgdl, totalTokens, cfg.numShards,
+        docsPerShard, cfg.blockSize))
+      writeManifest(dir, StageManifest("docs", n, n, checksum, perShard))
       ids.unpersist()
-      cached.unpersist()
+      if (cfg.cacheInput) cached.unpersist()
     }
     val docs = readDocs(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- stage 2: corpus statistics (df/cf live in the dictionary;
-    // avgdl here) ----
+    // num_docs/avgdl/total_tokens were folded into the docs-stage
+    // manifest aggregation — this stage just marks them final) ----
     if (!stageDone(dir, "stats")) timed("stats") {
       val s0 = readStats(dir)
-      val row = docs.agg(count(lit(1)), sum($"dl")).collect()(0)
-      val n = row.getLong(0)
-      val totalTokens = if (row.isNullAt(1)) 0L else row.getLong(1)
-      val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
-      writeStats(dir, IndexStats(n, avgdl, totalTokens, s0.numShards,
-        s0.docsPerShard, s0.blockSize))
-      writeManifest(dir, StageManifest("stats", n, 1, totalTokens, Nil))
+      writeManifest(dir, StageManifest("stats", s0.numDocs, 1, s0.totalTokens, Nil))
     }
     val stats = readStats(dir)
 
-    // stages 3+4 share the (term, doc_id, tf) relation — compute the
-    // tokenize+explode+agg once when both are pending
-    val needDict = !stageDone(dir, "dictionary")
-    val needPost = !stageDone(dir, "postings")
-    val tfShared =
-      if (needDict && needPost)
-        Some(termFreqs(spark, docs).persist(StorageLevel.MEMORY_AND_DISK))
-      else None
-    def tfRel = tfShared.getOrElse(termFreqs(spark, docs))
+    // ---- stage 3: postings — the build's ONE wide shuffle ----
+    if (!stageDone(dir, "postings")) timed("postings") {
+      val toks = rawTokens(spark, docs)
+      val blocks0 =
+        if (cfg.salts <= 1) encodeDirect(spark, toks, stats, cfg)
+        else encodeSalted(spark, toks, stats, cfg)
+      val blocks = blocks0.persist(StorageLevel.MEMORY_AND_DISK)
+      // plain parquet; a narrow in-partition re-sort of the (small)
+      // block relation restores term order so term-IN predicates
+      // prune via row-group stats — no directory explosion
+      timed("postings.write")(
+        blocks.toDF().sortWithinPartitions("shard", "term", "block_id")
+          .write.mode("overwrite").parquet(postingsPath(dir)))
+      val shardRows = blocks.toDF()
+        .groupBy("shard")
+        .agg(count(lit(1)).as("c"),
+          expr("bit_xor(xxhash64(term, block_id, first_doc, last_doc))").as("x"))
+        .collect()
+      blocks.unpersist()
+      val perShard = shardRows.map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
+      val checksum = shardRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
+        .foldLeft(0L)(_ ^ _)
+      writeManifest(dir, StageManifest("postings", stats.numDocs,
+        perShard.map(_._2).sum, checksum, perShard))
+    }
 
-    // ---- stage 3: dictionary ----
-    if (needDict) timed("dictionary") {
-      val dict = tfRel
+    // ---- stage 4: dictionary — tiny agg over block metadata (df =
+    // Σ block n, cf = Σ block tf sums, max_tfnorm = max block max) ----
+    if (!stageDone(dir, "dictionary")) timed("dictionary") {
+      val dict = readPostings(spark, dir)
         .groupBy($"term")
-        .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"),
-          max(tfNormCol($"tf", $"dl", stats.avgdl)).as("max_tfnorm"))
+        .agg(sum($"n").cast("long").as("df"), sum($"sum_tf").cast("long").as("cf"),
+          max($"block_max_tfnorm").as("max_tfnorm"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       dict.orderBy($"term").write.mode("overwrite").parquet(dictPath(dir))
+      // single fused job: row count + lineage checksum
+      val m = dict.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(term, df, cf))")).collect()(0)
       writeManifest(dir, StageManifest("dictionary", stats.numDocs,
-        dict.count(), contentChecksum(dict.select("term", "df", "cf")), Nil))
+        m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1), Nil))
       dict.unpersist()
     }
-
-    // ---- stage 4: postings ----
-    if (needPost) timed("postings") {
-      val blocks =
-        (if (cfg.salts <= 1) encodeDirect(spark, tfRel, stats, cfg)
-         else encodeSalted(spark, tfRel, stats, cfg))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      blocks.toDF().write.mode("overwrite").partitionBy("shard")
-        .parquet(postingsPath(dir))
-      val bdf = blocks.toDF()
-      val perShard = bdf.groupBy("shard").count()
-        .collect().map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
-      writeManifest(dir, StageManifest("postings", stats.numDocs, bdf.count(),
-        contentChecksum(bdf.select("term", "block_id", "first_doc", "last_doc")),
-        perShard))
-      blocks.unpersist()
-    }
-    tfShared.foreach(_.unpersist())
 
     // ---- stage 5: per-shard norm arrays (query-time dl lookup) ----
     if (!stageDone(dir, "norms")) timed("norms") {
@@ -208,8 +220,10 @@ object IndexBuilder {
         }
         .persist(StorageLevel.MEMORY_AND_DISK)
       norms.toDF().write.mode("overwrite").parquet(normsPath(dir))
-      writeManifest(dir, StageManifest("norms", stats.numDocs, norms.count(),
-        contentChecksum(norms.toDF().select("shard", "n", "first_doc")), Nil))
+      val m = norms.toDF().agg(count(lit(1)),
+        expr("bit_xor(xxhash64(shard, n, first_doc))")).collect()(0)
+      writeManifest(dir, StageManifest("norms", stats.numDocs,
+        m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1), Nil))
       norms.unpersist()
     }
     docs.unpersist()
@@ -218,8 +232,8 @@ object IndexBuilder {
     stats
   }
 
-  /** Streaming block encode of one doc-ordered (shard, term) group.
-    * Iterator-to-iterator: never materializes a partition.
+  /** Block-encode one (shard, term) posting group given per-doc
+    * (doc_id asc, tf, dl) arrays.
     */
   private def encodeGroup(
       shard: Int,
@@ -238,36 +252,60 @@ object IndexBuilder {
       val tfsB = java.util.Arrays.copyOfRange(tfs, off, off + n)
       var maxTf = 0
       var maxTfNorm = 0.0
+      var sumTf = 0L
       var i = 0
       while (i < n) {
         if (tfsB(i) > maxTf) maxTf = tfsB(i)
+        sumTf += tfsB(i)
         val tn = Bm25.tfNorm(tfsB(i), dls(off + i), avgdl)
         if (tn > maxTfNorm) maxTfNorm = tn
         i += 1
       }
       out += PostingBlock(term, blockId, n, ids(0), ids(n - 1),
-        Varbyte.encodeDeltas(ids), Varbyte.encodeInts(tfsB), maxTf, maxTfNorm, shard)
+        Varbyte.encodeDeltas(ids), Varbyte.encodeInts(tfsB), maxTf, maxTfNorm,
+        sumTf, shard)
       off += n
       blockId += 1
     }
     out.toSeq
   }
 
-  /** Direct path: hash-repartition by (shard, term) — a group never
-    * splits across partitions — then in-partition sort + streaming
-    * encode of consecutive groups.
+  /** Accumulate one (shard, term) run of doc-sorted raw occurrences
+    * into per-doc (ids, tfs, dls) — tf counted from consecutive
+    * duplicates of the same doc_id.
+    */
+  private final class RunAcc {
+    val ids = new ArrayBuffer[Long](64)
+    val tfs = new ArrayBuffer[Int](64)
+    val dls = new ArrayBuffer[Int](64)
+    def add(docId: Long, dl: Int): Unit = {
+      if (ids.nonEmpty && ids(ids.length - 1) == docId)
+        tfs(tfs.length - 1) += 1
+      else { ids += docId; tfs += 1; dls += dl }
+    }
+  }
+
+  /** Direct path: hash-repartition raw occurrences by (shard, term)
+    * — a group never splits across partitions — then in-partition
+    * sort + streaming encode of consecutive groups (tf counted from
+    * consecutive duplicate doc ids).
     */
   private def encodeDirect(
       spark: SparkSession,
-      tf: org.apache.spark.sql.DataFrame,
+      toks: org.apache.spark.sql.DataFrame,
       stats: IndexStats,
       cfg: Config): Dataset[PostingBlock] = {
     import spark.implicits._
-    val sorted = tf
+    // sort with a hash-leading key: long compares instead of string
+    // compares dominate the 10^8-row sort; `term` stays in the key
+    // only to disambiguate hash collisions (grouping, not order,
+    // is what the encoder needs)
+    val sorted = toks
+      .withColumn("thash", xxhash64($"term"))
       .repartition(cfg.numPartitions, $"shard", $"term")
-      .sortWithinPartitions($"shard", $"term", $"doc_id")
-      .select($"shard", $"term", $"doc_id", $"tf", $"dl")
-      .as[(Int, String, Long, Int, Int)]
+      .sortWithinPartitions($"shard", $"thash", $"term", $"doc_id")
+      .select($"shard", $"term", $"doc_id", $"dl")
+      .as[(Int, String, Long, Int)]
     val avgdl = stats.avgdl
     val blockSize = stats.blockSize
     sorted.mapPartitions { it =>
@@ -276,16 +314,14 @@ object IndexBuilder {
         private var pending: Iterator[PostingBlock] = Iterator.empty
         private def fill(): Unit = {
           while (!pending.hasNext && in.hasNext) {
-            val (shard, term, _, _, _) = in.head
-            val ids = new ArrayBuffer[Long](64)
-            val tfs = new ArrayBuffer[Int](64)
-            val dls = new ArrayBuffer[Int](64)
+            val (shard, term, _, _) = in.head
+            val acc = new RunAcc
             while (in.hasNext && in.head._1 == shard && in.head._2 == term) {
-              val (_, _, d, f, l) = in.next()
-              ids += d; tfs += f; dls += l
+              val (_, _, d, l) = in.next()
+              acc.add(d, l)
             }
-            pending = encodeGroup(shard, term, ids.toArray, tfs.toArray,
-              dls.toArray, avgdl, blockSize).iterator
+            pending = encodeGroup(shard, term, acc.ids.toArray, acc.tfs.toArray,
+              acc.dls.toArray, avgdl, blockSize).iterator
           }
         }
         def hasNext: Boolean = { fill(); pending.hasNext }
@@ -302,16 +338,17 @@ object IndexBuilder {
     */
   private def encodeSalted(
       spark: SparkSession,
-      tf: org.apache.spark.sql.DataFrame,
+      toks: org.apache.spark.sql.DataFrame,
       stats: IndexStats,
       cfg: Config): Dataset[PostingBlock] = {
     import spark.implicits._
-    val salted = tf
+    val salted = toks
       .withColumn("salt", pmod(xxhash64($"doc_id"), lit(cfg.salts)).cast("int"))
+      .withColumn("thash", xxhash64($"term"))
       .repartition(cfg.numPartitions, $"shard", $"term", $"salt")
-      .sortWithinPartitions($"shard", $"term", $"salt", $"doc_id")
-      .select($"shard", $"term", $"salt", $"doc_id", $"tf", $"dl")
-      .as[(Int, String, Int, Long, Int, Int)]
+      .sortWithinPartitions($"shard", $"thash", $"term", $"salt", $"doc_id")
+      .select($"shard", $"term", $"salt", $"doc_id", $"dl")
+      .as[(Int, String, Int, Long, Int)]
 
     // sub-posting runs: one (shard, term, salt) = one sorted run
     val runs = salted.mapPartitions { it =>
@@ -319,16 +356,14 @@ object IndexBuilder {
       new Iterator[SubRun] {
         def hasNext: Boolean = in.hasNext
         def next(): SubRun = {
-          val (shard, term, salt, _, _, _) = in.head
-          val ids = new ArrayBuffer[Long](64)
-          val tfs = new ArrayBuffer[Int](64)
-          val dls = new ArrayBuffer[Int](64)
+          val (shard, term, salt, _, _) = in.head
+          val acc = new RunAcc
           while (in.hasNext && in.head._1 == shard &&
             in.head._2 == term && in.head._3 == salt) {
-            val (_, _, _, d, f, l) = in.next()
-            ids += d; tfs += f; dls += l
+            val (_, _, _, d, l) = in.next()
+            acc.add(d, l)
           }
-          SubRun(shard, term, salt, ids.toArray, tfs.toArray, dls.toArray)
+          SubRun(shard, term, salt, acc.ids.toArray, acc.tfs.toArray, acc.dls.toArray)
         }
       }
     }

@@ -57,6 +57,7 @@ object SegmentIO {
       tf_bytes: Array[Byte],
       block_max_tf: Int,
       block_max_tfnorm: Double,
+      sum_tf: Long,
       shard: Int)
 
   case class DictEntry(term: String, df: Long, cf: Long, max_tfnorm: Double)
@@ -185,7 +186,7 @@ object SegmentIO {
     import spark.implicits._
     spark.read.parquet(postingsPath(dir))
       .select("term", "block_id", "n", "first_doc", "last_doc", "doc_bytes",
-        "tf_bytes", "block_max_tf", "block_max_tfnorm", "shard")
+        "tf_bytes", "block_max_tf", "block_max_tfnorm", "sum_tf", "shard")
       .as[PostingBlock]
   }
 }

@@ -78,6 +78,17 @@ class EngineParitySpec extends SparkSpec {
     }
   }
 
+  test("rank identity: in-RAM LocalIndex == exact BM25 oracle, full query set") {
+    val li = new graft.query.LocalIndex(spark, indexDir)
+    for (q <- QuerySet.referenceQueries) {
+      val expected = LocalOracle
+        .topK(oracle, q.text, q.k, q.conjunctive, q.minScore)
+        .map { case (d, s) => (d.docId, s) }
+      val got = li.retrieve(q.text, q.k, q.minScore, q.conjunctive).toIndexedSeq
+      assert(got == expected, s"[${q.id}] LocalIndex mismatch")
+    }
+  }
+
   test("zero-hit and stopword-only queries return empty") {
     assert(engine.retrieve("zzznotaterm", 10).count() == 0)
     assert(engine.retrieve("the of and", 10).count() == 0)

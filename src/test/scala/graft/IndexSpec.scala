@@ -12,10 +12,11 @@ class IndexSpec extends SparkSpec {
 
   val NumConvs = 120
 
-  private def postingsContent(dir: String): Set[(Int, String, Int, Int, Long, Long, Seq[Byte], Seq[Byte], Int, Double)] =
+  private def postingsContent(dir: String): Set[(Int, String, Int, Int, Long, Long, Seq[Byte], Seq[Byte], Int, Double, Long)] =
     SegmentIO.readPostings(spark, dir).collect().map { b =>
       (b.shard, b.term, b.block_id, b.n, b.first_doc, b.last_doc,
-        b.doc_bytes.toSeq, b.tf_bytes.toSeq, b.block_max_tf, b.block_max_tfnorm)
+        b.doc_bytes.toSeq, b.tf_bytes.toSeq, b.block_max_tf, b.block_max_tfnorm,
+        b.sum_tf)
     }.toSet
 
   private def build(salts: Int): String = {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.gen.TranscriptGen
+import graft.index.IndexBuilder
+import graft.model.Turn
+import graft.query.LocalIndex
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming surface: staged micro-batch ingest feeding
+  * the SAME batch index builder, and watermarked windowed stats.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("micro-batch staging -> batch index build -> queryable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val staging = tempDir("graft-staging")
+    val input = MemoryStream[Turn]
+    val all = TranscriptGen.localCorpus(40)
+    input.addData(all.take(all.size / 2))
+    val q1 = StreamingIngest.stageTurns(input.toDS(), staging).start()
+    q1.awaitTermination(60000)
+    input.addData(all.drop(all.size / 2))
+    val q2 = StreamingIngest.stageTurns(input.toDS(), staging).start()
+    q2.awaitTermination(60000)
+
+    val staged = StreamingIngest.stagedCorpus(spark, staging)
+    assert(staged.count() == all.size)
+    // staged corpus == original corpus, row for row
+    assert(staged.exceptAll(TranscriptGen.corpus(spark, 40)).isEmpty)
+
+    // compaction: the streaming-staged corpus builds the same index
+    val dir = tempDir("graft-stream-idx")
+    IndexBuilder.build(spark, staged, dir,
+      IndexBuilder.Config(blockSize = 16, numShards = 4, numPartitions = 4))
+    val li = new LocalIndex(spark, dir)
+    val hits = li.retrieve("needle5alpha needle5beta", 5)
+    assert(hits.nonEmpty)
+    // rank-identity against the oracle still holds on streamed data
+    val oracle = graft.query.LocalOracle.buildCorpus(all)
+    val expected = graft.query.LocalOracle.topK(oracle, "needle5alpha needle5beta", 5)
+      .map { case (d, s) => (d.docId, s) }
+    assert(hits.toSeq == expected)
+  }
+
+  test("watermarked windowed aggregation over event time") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Turn]
+    val agg = StreamingIngest.windowedTurnStats(input.toDS())
+    val q = agg.writeStream.format("memory").queryName("turn_stats")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(TranscriptGen.localCorpus(10))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM turn_stats").collect()
+    q.stop()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_turns")).sum
+    assert(total == TranscriptGen.localCorpus(10).size)
+    // window starts align to the hour; convs are 1 hour apart
+    assert(rows.forall(r => r.getAs[java.sql.Timestamp]("window_start")
+      .getTime % 3600000L == 0L))
+  }
+}
