@@ -390,6 +390,82 @@ object SparkEntry {
       Seq((st.matched, st.missed, st.newCandidates, st.recall))
         .toDF("matched", "missed", "new_candidates", "recall")
     }),
+    // S12: template-formatted citation-style text export
+    "q_ris_export" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 20)
+      docs.select(col("doc_id"),
+        concat(lit("TY  - DOC | ID  - "), col("doc_id"),
+          lit(" | LA  - "), col("lang"),
+          lit(" | SRC - "), col("source"),
+          lit(" | N1  - "), substring(col("text"), 1, 40),
+          lit(" | ER  -")).as("record"))
+        .orderBy("doc_id")
+    }),
+    // S13: found/not-found comparison cross-tab against an included set
+    "q_comparison_export" -> ((s, dir) => {
+      import s.implicits._
+      val included = Seq(("c00000000", 1), ("c00000001", 2), ("c00000062", 3),
+        ("c00000040", 0), ("c00000055", 5)).toDF("conv_id", "turn_idx")
+      val top = engine(s, dir).retrieve("vector window stream", 10)
+      val docs = SegmentIO.readDocs(s, indexFor(s, dir))
+      val ranked = docs.join(broadcast(top), "doc_id")
+        .orderBy(desc("score"), asc("doc_id"))
+        .select(col("conv_id"), col("turn_idx"), round(col("score"), 4).as("score"))
+      included.join(ranked, Seq("conv_id", "turn_idx"), "left")
+        .select(col("conv_id"), col("turn_idx"),
+          when(col("score").isNotNull, lit("found")).otherwise(lit("not_found"))
+            .as("status"),
+          coalesce(col("score"), lit(-1.0)).as("score"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+    // J5: missed-doc diagnosis — below-threshold vs outside-top-k
+    "q_missed_doc_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val included = Seq(("c00000000", 1), ("c00000001", 2), ("c00000062", 3),
+        ("c00000040", 0)).toDF("conv_id", "turn_idx")
+      val scoredAll = OracleEngine.topK(s, Corpus.transcripts(s, dir),
+        "data table row", k = 100000, minScore = 0.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("score"), asc("conv_id"), asc("turn_idx"))
+      val ranked = scoredAll.withColumn("rank", row_number().over(w))
+      included.join(ranked, Seq("conv_id", "turn_idx"), "left")
+        .select(col("conv_id"), col("turn_idx"),
+          when(col("score").isNull, lit("no_term_match"))
+            .when(col("score") < 0.3, lit("below_threshold"))
+            .when(col("rank") > 10, lit("outside_topk"))
+            .otherwise(lit("retrieved")).as("diagnosis"))
+        .orderBy("conv_id", "turn_idx")
+    }),
+    // S7: point / IN-list metadata lookup
+    "q_point_lookup" -> ((s, dir) =>
+      Corpus.transcripts(s, dir)
+        .filter(col("conv_id").isin("c00000002", "c00000007") &&
+          col("turn_idx").isin(0, 1, 2))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("conv_id", "turn_idx")),
+    // Q11: validation-mode preset (tau=0, k=5000)
+    "q_validation_mode" -> ((s, dir) => {
+      import s.implicits._
+      val resp = engine(s, dir).search(QuerySpec("hash scan", topK = 3,
+        minScore = 5.0, validationMode = true))
+      Seq((resp.totalResults.toLong,
+        resp.hits.map(_.score).max, resp.hits.map(_.score).min))
+        .toDF("n", "max_score", "min_score")
+    }),
+    // per-language quality rollup (lang-ID + quality scoring combo)
+    "q_lang_quality" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val q = TextOps.qualityMetrics(docs, col("doc_id"), col("text"))
+      docs.select(col("doc_id").as("id"), col("lang"))
+        .join(q, "id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("stopword_ratio")), 6).as("avg_stop"),
+          round(avg(col("mean_word_len")), 6).as("avg_wlen"),
+          sum(col("n_ws_tokens")).cast("long").as("total_tokens"))
+        .orderBy("lang")
+    }),
     // ---- multimodal: binary payload plumbing + stubbed decode ----
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
@@ -641,6 +717,71 @@ object SparkEntry {
            |SELECT m.matched, (5 - m.matched) AS missed, nw.new_candidates,
            |       round(m.matched::DOUBLE / 5, 4) AS recall
            |FROM m, nw""".stripMargin,
+      "q_ris_export" ->
+        """SELECT doc_id,
+          |  'TY  - DOC | ID  - ' || doc_id || ' | LA  - ' || lang ||
+          |  ' | SRC - ' || source || ' | N1  - ' || substr(text, 1, 40) ||
+          |  ' | ER  -' AS record
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+      "q_comparison_export" ->
+        s"""${bm25Ctes(Seq("stream", "vector", "window"))},
+           |topk AS (SELECT conv_id, turn_idx, score FROM scored
+           |         ORDER BY score DESC, conv_id, turn_idx LIMIT 10),
+           |inc(conv_id, turn_idx) AS (VALUES
+           |  ('c00000000', 1), ('c00000001', 2), ('c00000062', 3),
+           |  ('c00000040', 0), ('c00000055', 5))
+           |SELECT i.conv_id, i.turn_idx,
+           |       CASE WHEN k.score IS NOT NULL THEN 'found' ELSE 'not_found' END AS status,
+           |       coalesce(round(k.score, 4), -1.0) AS score
+           |FROM inc i LEFT JOIN topk k USING (conv_id, turn_idx)
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+      "q_missed_doc_classifier" ->
+        s"""${bm25Ctes(Seq("data", "row", "table"))},
+           |ranked AS (
+           |  SELECT conv_id, turn_idx, score,
+           |         row_number() OVER (ORDER BY score DESC, conv_id, turn_idx) AS rank
+           |  FROM scored),
+           |inc(conv_id, turn_idx) AS (VALUES
+           |  ('c00000000', 1), ('c00000001', 2), ('c00000062', 3), ('c00000040', 0))
+           |SELECT i.conv_id, i.turn_idx,
+           |       CASE WHEN r.score IS NULL THEN 'no_term_match'
+           |            WHEN r.score < 0.3 THEN 'below_threshold'
+           |            WHEN r.rank > 10 THEN 'outside_topk'
+           |            ELSE 'retrieved' END AS diagnosis
+           |FROM inc i LEFT JOIN ranked r USING (conv_id, turn_idx)
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+      "q_point_lookup" ->
+        s"""WITH ${Corpus.transcriptsCte}
+           |SELECT conv_id, turn_idx, role, tool, length(text)::BIGINT AS n_chars
+           |FROM t WHERE conv_id IN ('c00000002', 'c00000007')
+           |  AND turn_idx IN (0, 1, 2)
+           |ORDER BY conv_id, turn_idx""".stripMargin,
+      "q_validation_mode" ->
+        s"""${bm25Ctes(Seq("hash", "scan"))},
+           |topk AS (SELECT * FROM scored
+           |         ORDER BY score DESC, conv_id, turn_idx LIMIT 5000)
+           |SELECT count(*) AS n, max(round(score, 4)) AS max_score,
+           |       min(round(score, 4)) AS min_score
+           |FROM topk""".stripMargin,
+      "q_lang_quality" -> (
+        """WITH w AS (
+          |  SELECT doc_id, lang,
+          |         list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0) AS ws
+          |  FROM documents),
+          |m AS (
+          |  SELECT doc_id, lang,
+          |    round(len(list_filter(ws, t -> lower(t) IN """.stripMargin +
+        Tokenizer.stopListSql +
+        """))::DOUBLE / greatest(len(ws), 1), 6) AS stopword_ratio,
+          |    round(list_sum(list_transform(ws, t -> length(t)))::DOUBLE /
+          |          greatest(len(ws), 1), 6) AS mean_word_len,
+          |    len(ws) AS n_ws_tokens
+          |  FROM w)
+          |SELECT lang, count(*) AS n,
+          |       round(avg(stopword_ratio), 6) AS avg_stop,
+          |       round(avg(mean_word_len), 6) AS avg_wlen,
+          |       sum(n_ws_tokens)::BIGINT AS total_tokens
+          |FROM m GROUP BY lang ORDER BY lang""".stripMargin),
       "q_minhash_lsh" -> minhashLshSql(2, 0.2),
       "q_simhash" -> simhashSql,
       "q_ngram_jaccard" -> ngramJaccardSql(2, 0.15, 1000),
