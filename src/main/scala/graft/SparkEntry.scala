@@ -122,6 +122,19 @@ object SparkEntry {
       hitsOut(s, dir, engine(s, dir).retrieve("merge sort join", 15, conjunctive = true))),
     "q_bm25_minscore" -> ((s, dir) =>
       hitsOut(s, dir, engine(s, dir).retrieve("hash scan", 100, minScore = 0.5))),
+    // Q7: secondary proximity rerank over the over-fetched candidates
+    "q_bm25_reranked" -> ((s, dir) => {
+      val qText = "table scan merge"
+      val top = engine(s, dir).retrieve(qText, 50)
+      val docs = SegmentIO.readDocs(s, indexFor(s, dir))
+      val joined = docs.join(broadcast(top), "doc_id")
+      graft.query.Rerank(joined, qText)
+        .limit(10)
+        .select(col("conv_id"), col("turn_idx"),
+          round(col("score"), 4).as("score"),
+          round(col("rerank_score"), 3).as("rerank"))
+        .orderBy("conv_id", "turn_idx")
+    }),
     // DataFrame oracle path (Q2 exhaustive scan analog)
     "q_bm25_oracle_df" -> ((s, dir) => {
       OracleEngine.topK(s, Corpus.transcripts(s, dir), "slow query filter", 20)
@@ -717,6 +730,24 @@ object SparkEntry {
            |SELECT m.matched, (5 - m.matched) AS missed, nw.new_candidates,
            |       round(m.matched::DOUBLE / 5, 4) AS recall
            |FROM m, nw""".stripMargin,
+      "q_bm25_reranked" ->
+        s"""${bm25Ctes(Seq("merge", "scan", "table"))},
+           |topkp AS (SELECT conv_id, turn_idx, score FROM scored
+           |          ORDER BY score DESC, conv_id, turn_idx LIMIT 50),
+           |cand AS (
+           |  SELECT p.conv_id, p.turn_idx, p.score,
+           |         len(list_filter(range(1, len(d.tk)),
+           |           i -> list_contains(['merge','scan','table'], d.tk[i])
+           |            AND list_contains(['merge','scan','table'], d.tk[i+1]))) AS pairs
+           |  FROM topkp p JOIN d USING (conv_id, turn_idx)),
+           |rr AS (SELECT conv_id, turn_idx, score,
+           |              score + 0.1 * least(pairs, 5) AS rrs FROM cand),
+           |top AS (SELECT * FROM rr
+           |        ORDER BY round(rrs, 3) DESC, score DESC, conv_id, turn_idx
+           |        LIMIT 10)
+           |SELECT conv_id, turn_idx, round(score, 4) AS score,
+           |       round(rrs, 3) AS rerank
+           |FROM top ORDER BY conv_id, turn_idx""".stripMargin,
       "q_ris_export" ->
         """SELECT doc_id,
           |  'TY  - DOC | ID  - ' || doc_id || ' | LA  - ' || lang ||

@@ -122,10 +122,14 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     val minScore = if (spec.validationMode) 0.0 else spec.minScore
     val hasResidual = spec.tsAfter.nonEmpty || spec.tsBefore.nonEmpty ||
       spec.roles.nonEmpty || spec.tools.nonEmpty
-    // over-fetch policy Q3 (reference src/search_engine.py:198-212)
-    val kPrime = math.min(if (hasResidual) k * OverFetchFactor else k, MaxTopK)
+    // over-fetch policy Q3 (reference src/search_engine.py:198-212);
+    // reranking widens the candidate pool and drops the threshold to 0
+    // (reference :208 and F1)
+    val kPrime = math.min(
+      if (hasResidual || spec.rerank) k * OverFetchFactor else k, MaxTopK)
+    val effMinScore = if (spec.rerank) 0.0 else minScore
 
-    val hits = retrieve(spec.text, kPrime, minScore, spec.conjunctive)
+    val hits = retrieve(spec.text, kPrime, effMinScore, spec.conjunctive)
 
     // metadata join J1: broadcast the candidate set against the doc store
     val docs = SegmentIO.readDocs(spark, indexDir)
@@ -139,10 +143,15 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     if (spec.tools.nonEmpty)
       joined = joined.filter(lower($"tool").isin(spec.tools.map(_.toLowerCase): _*))
 
+    // secondary rerank Q7 (proximity bonus) reorders the over-fetched
+    // candidates BEFORE truncation (reference src/reranker.py:316-318)
+    val ordered =
+      if (spec.rerank) graft.query.Rerank(joined, spec.text)
+      else joined.orderBy(desc("score"), asc("doc_id"))
+
     // truncate to k (Q5), THEN round to 4 dp (F6) and boost (Q8) —
     // the reference's exact staging (SURVEY §3.1 ordering contract)
-    val truncated = joined
-      .orderBy(desc("score"), asc("doc_id"))
+    val truncated = ordered
       .limit(k)
       .withColumn("score", round($"score", 4))
 
@@ -150,8 +159,14 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
       spec.penalizeTerms, spec.boostWeight, spec.penaltyWeight)
 
     val includeSet = spec.includeKeys.toSet
+    // final ordering: boost re-sorts by adjusted score (reference
+    // :457); otherwise rerank order survives (reference :316-318)
+    val finalSort =
+      if (spec.rerank && spec.boostTerms.isEmpty && spec.penalizeTerms.isEmpty)
+        Seq(round($"rerank_score", 3).desc, $"score".desc, $"doc_id".asc)
+      else Seq(desc("score"), asc("doc_id"))
     val rows = boosted
-      .orderBy(desc("score"), asc("doc_id"))
+      .orderBy(finalSort: _*)
       .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "score")
       .collect()
       .map { r =>

@@ -47,6 +47,7 @@ case class QuerySpec(
     boostWeight: Double = 0.15,
     penaltyWeight: Double = 0.15,
     conjunctive: Boolean = false,
+    rerank: Boolean = false,
     validationMode: Boolean = false)
 
 /** One ranked hit (reference result row, `src/search_engine.py:270-283`). */

@@ -97,6 +97,45 @@ class LifecycleSpec extends SparkSpec {
     assert(resp.hits.count(_.is_match) == 1)
   }
 
+  test("proximity rerank: adjacent query-term pairs lift candidates (Q7)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1.0, "alpha far beta apart words alpha something beta"),
+      (2L, 1.0, "alpha beta adjacent here and alpha beta again"),
+      (3L, 1.0, "no terms at all present here"))
+      .toDF("doc_id", "score", "text")
+    val rr = graft.query.Rerank(df, "alpha beta")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rerank_score")))
+    // doc 2 has 2 adjacent pairs -> +0.2; doc 1 has none adjacent
+    assert(rr.head._1 == 2L && math.abs(rr.head._2 - 1.2) < 1e-12)
+    assert(rr.find(_._1 == 1L).get._2 == 1.0)
+    assert(rr.find(_._1 == 3L).get._2 == 1.0)
+    // search(): rerank reorders without filtering, same doc set
+    val plain = engine.search(graft.model.QuerySpec("t00000 t00001", topK = 10))
+    val rer = engine.search(graft.model.QuerySpec("t00000 t00001", topK = 10,
+      rerank = true))
+    assert(rer.hits.size == plain.hits.size)
+  }
+
+  test("export: CSV frame shape + NaN sanitization (S11/F7)") {
+    import spark.implicits._
+    val resp = engine.search(graft.model.QuerySpec("needle2alpha", topK = 5,
+      includeKeys = Seq((graft.gen.TranscriptGen.convId(2L), 0))))
+    val frame = graft.export.Exporter.responseFrame(spark, resp)
+    assert(frame.columns.toSeq == Seq("rank", "conv_id", "turn_idx", "role",
+      "tool", "ts", "score", "screening_decision"))
+    assert(frame.filter($"screening_decision" === "Included").count() == 1)
+    val dirty = Seq((1L, Double.NaN), (2L, Double.PositiveInfinity), (3L, 1.5))
+      .toDF("id", "v")
+    val clean = graft.export.Exporter.sanitize(dirty).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(clean.toSeq == Seq((1L, None), (2L, None), (3L, Some(1.5))))
+    val out = tempDir("graft-csv")
+    graft.export.Exporter.writeCsv(frame, s"$out/results")
+    val back = spark.read.option("header", "true").csv(s"$out/results")
+    assert(back.count() == resp.hits.size)
+  }
+
   test("scores in responses are rounded to 4 dp (output contract F6)") {
     val resp = engine.search(QuerySpec("t00010 t00020", topK = 10))
     resp.hits.foreach { h =>
