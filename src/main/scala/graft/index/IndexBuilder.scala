@@ -300,9 +300,13 @@ object IndexBuilder {
     // compares dominate the 10^8-row sort; `term` stays in the key
     // only to disambiguate hash collisions (grouping, not order,
     // is what the encoder needs)
+    // floor the shuffle width: at very low core counts a per-core
+    // partition count would make multi-GB per-task sorts (tasks just
+    // queue instead; output content is partition-invariant — tested)
+    val shuffleParts = math.max(cfg.numPartitions, 16)
     val sorted = toks
       .withColumn("thash", xxhash64($"term"))
-      .repartition(cfg.numPartitions, $"shard", $"term")
+      .repartition(shuffleParts, $"shard", $"term")
       .sortWithinPartitions($"shard", $"thash", $"term", $"doc_id")
       .select($"shard", $"term", $"doc_id", $"dl")
       .as[(Int, String, Long, Int)]
@@ -342,10 +346,11 @@ object IndexBuilder {
       stats: IndexStats,
       cfg: Config): Dataset[PostingBlock] = {
     import spark.implicits._
+    val shuffleParts = math.max(cfg.numPartitions, 16)
     val salted = toks
       .withColumn("salt", pmod(xxhash64($"doc_id"), lit(cfg.salts)).cast("int"))
       .withColumn("thash", xxhash64($"term"))
-      .repartition(cfg.numPartitions, $"shard", $"term", $"salt")
+      .repartition(shuffleParts, $"shard", $"term", $"salt")
       .sortWithinPartitions($"shard", $"thash", $"term", $"salt", $"doc_id")
       .select($"shard", $"term", $"salt", $"doc_id", $"dl")
       .as[(Int, String, Int, Long, Int)]
