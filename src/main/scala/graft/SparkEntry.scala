@@ -44,8 +44,10 @@ object SparkEntry {
       dir
     })
 
+  private val engineCache = TrieMap[String, SearchEngine]()
   private def engine(spark: SparkSession, sfDir: String): SearchEngine =
-    new SearchEngine(spark, indexFor(spark, sfDir))
+    engineCache.getOrElseUpdate(sfDir,
+      new SearchEngine(spark, indexFor(spark, sfDir)))
 
   /** Engine hits (doc_id, score) → canonical (conv_id, turn_idx,
     * score rounded 4 dp) via the docs-table metadata join.

@@ -36,6 +36,11 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
 
   lazy val stats: SegmentIO.IndexStats = SegmentIO.readStats(indexDir)
 
+  /** Norms are one row per shard — cached across queries (the
+    * reference's lazy-loaded resident index, src/search_engine.py:48-70).
+    */
+  private lazy val normsCached = SegmentIO.readNorms(spark, indexDir).cache()
+
   /** Retrieval core: BM25 top-k as (doc_id, score) — exact scores,
     * no rounding (rounding is an output-boundary contract only).
     */
@@ -62,7 +67,7 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
 
     val postings = SegmentIO.readPostings(spark, indexDir)
       .filter($"term".isin(present.toSeq: _*))
-    val norms = SegmentIO.readNorms(spark, indexDir)
+    val norms = normsCached
 
     // locals only — the cogroup closure must not capture `this`
     val avgdl = stats.avgdl
