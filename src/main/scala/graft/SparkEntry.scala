@@ -299,7 +299,11 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
     // J4: fuzzy word-overlap similarity join (reference app.py:876-896:
-    // overlap = |A∩B|/|A| >= 0.6 with >= 3 matching meaningful words)
+    // overlap = |A∩B|/|A| >= 0.6 with >= 3 matching meaningful words).
+    // Shared-token equi-join prefilter, NOT a cross join: only pairs
+    // with >=1 common token are ever materialized (lossless here since
+    // the predicate requires inter >= 3), so the plan scales with the
+    // token-match fan-out instead of |A|x|B|.
     "q_fuzzy_overlap_join" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       def tk(c: org.apache.spark.sql.Column) =
@@ -308,9 +312,11 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), tk(col("text")).as("tk_a"))
       val b = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
         .select(col("doc_id").as("id_b"), tk(col("text")).as("tk_b"))
-      a.crossJoin(b)
-        .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
-        .withColumn("overlap", col("inter").cast("double") / size(col("tk_a")))
+      val inter = a.select(col("id_a"), explode(col("tk_a")).as("tok"))
+        .join(b.select(col("id_b"), explode(col("tk_b")).as("tok")), "tok")
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      inter.join(a.select(col("id_a"), size(col("tk_a")).as("sz_a")), "id_a")
+        .withColumn("overlap", col("inter").cast("double") / col("sz_a"))
         .filter(col("inter") >= 3 && col("overlap") >= 0.6)
         .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
           round(col("overlap"), 6).as("overlap"))
@@ -438,11 +444,16 @@ object SparkEntry {
       import s.implicits._
       val included = Seq(("c00000000", 1), ("c00000001", 2), ("c00000062", 3),
         ("c00000040", 0)).toDF("conv_id", "turn_idx")
+      // rank = global position in the already-sorted, already-limited
+      // top-k output — zipWithIndex over the sorted partitions instead
+      // of an unpartitioned Window.orderBy (which would single-
+      // partition-sort the whole relation)
       val scoredAll = OracleEngine.topK(s, Corpus.transcripts(s, dir),
         "data table row", k = 100000, minScore = 0.0)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(desc("score"), asc("conv_id"), asc("turn_idx"))
-      val ranked = scoredAll.withColumn("rank", row_number().over(w))
+      val ranked = s.createDataFrame(
+        scoredAll.rdd.zipWithIndex.map { case (r, i) =>
+          (r.getString(0), r.getInt(1), r.getDouble(2), i + 1)
+        }).toDF("conv_id", "turn_idx", "score", "rank")
       included.join(ranked, Seq("conv_id", "turn_idx"), "left")
         .select(col("conv_id"), col("turn_idx"),
           when(col("score").isNull, lit("no_term_match"))
@@ -467,6 +478,15 @@ object SparkEntry {
       Seq((resp.totalResults.toLong,
         resp.hits.map(_.score).max, resp.hits.map(_.score).min))
         .toDF("n", "max_score", "min_score")
+    }),
+    // language-ID classifier cross-tab: actual lang column vs the
+    // marker-word classifier's prediction, over the WHOLE table (any
+    // per-doc disagreement between engines shifts a count)
+    "q_lang_id" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("lang"), TextOps.langIdCol(col("text")).as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
     }),
     // per-language quality rollup (lang-ID + quality scoring combo)
     "q_lang_quality" -> ((s, dir) => {
@@ -554,9 +574,9 @@ object SparkEntry {
 
   private def ngramJaccardSql(n: Int, tau: Double, maxDf: Int): String =
     s"""WITH tk AS (SELECT doc_id AS id, $tkLenSql AS tk FROM documents WHERE doc_id < 200),
-       |sh0 AS (SELECT DISTINCT id, sh FROM (
+       |sh0 AS (SELECT DISTINCT id, ${Hashing.hash32Sql("shingle")} AS sh FROM (
        |  SELECT id, unnest(list_transform(range(0, len(tk) - ${n - 1}),
-       |    i -> ${(0 until n).map(j => s"tk[i+${j + 1}]").mkString(" || ' ' || ")})) AS sh
+       |    i -> ${(0 until n).map(j => s"tk[i+${j + 1}]").mkString(" || ' ' || ")})) AS shingle
        |  FROM tk WHERE len(tk) >= $n)),
        |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $maxDf),
        |shf AS (SELECT id, sh FROM sh0 WHERE sh IN (SELECT sh FROM rare)),
@@ -815,6 +835,32 @@ object SparkEntry {
           |       round(avg(mean_word_len), 6) AS avg_wlen,
           |       sum(n_ws_tokens)::BIGINT AS total_tokens
           |FROM m GROUP BY lang ORDER BY lang""".stripMargin),
+      "q_lang_id" -> {
+        // marker lists generated from TextOps.LangMarkers so the two
+        // engines can never drift; tie-break = (score, lang) max, i.e.
+        // ORDER BY score DESC, lang DESC — identical to Spark's
+        // greatest() over (score, lang) structs
+        val scoreSelects = TextOps.LangMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+          val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+          s"""SELECT doc_id, lang, '$lang' AS pl,
+             |  len(list_filter(ws, t -> list_contains($lst, t))) AS score FROM w""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH w AS (
+           |  SELECT doc_id, lang,
+           |         regexp_split_to_array(lower(text), '[^\\p{L}]+') AS ws
+           |  FROM documents),
+           |sc AS ($scoreSelects),
+           |best AS (
+           |  SELECT doc_id, lang, pl, score,
+           |         row_number() OVER (PARTITION BY doc_id
+           |                            ORDER BY score DESC, pl DESC) AS rn
+           |  FROM sc)
+           |SELECT lang,
+           |       CASE WHEN score > 0 THEN pl ELSE 'und' END AS pred_lang,
+           |       count(*) AS n
+           |FROM best WHERE rn = 1
+           |GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+      },
       "q_minhash_lsh" -> minhashLshSql(2, 0.2),
       "q_simhash" -> simhashSql,
       "q_ngram_jaccard" -> ngramJaccardSql(2, 0.15, 1000),

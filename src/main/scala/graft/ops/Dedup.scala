@@ -25,37 +25,55 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(id).as("keep_id"))
       .filter(col("n") > 1)
 
-  /** Distinct token n-gram shingles per document:
-    * (id, shingle_hash) with portable 32-bit hashes.
+  /** Token n-gram shingles per document: (id, sh) with portable
+    * 32-bit hashes. Shingles are hashed in the projection so no
+    * downstream stage ever shuffles shingle strings — only fixed-width
+    * longs.
+    *
+    * With `distinct=false` the corpus-wide dedup shuffle is skipped;
+    * callers whose downstream math is duplicate-insensitive (MinHash
+    * mins) or that dedup a much smaller filtered subset later should
+    * use it — on the minhash path it removes the single widest
+    * shuffle of the pipeline.
     */
-  def shingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+  def shingles(df: DataFrame, id: Column, text: Column, n: Int,
+      distinct: Boolean = true): DataFrame = {
     val toks = df.select(id.as("id"),
       split(lower(text), Tokenizer.SplitPattern).as("raw"))
       .select(col("id"), filter(col("raw"), t => length(t) >= Tokenizer.MinLen).as("tk"))
     // n-gram join: transform over a 0..len-n index sequence
-    toks
+    val exploded = toks
       .filter(size(col("tk")) >= n)
       .select(col("id"), explode(
         transform(sequence(lit(0), size(col("tk")) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(col("tk"), i + j + 1)): _*)))
-        .as("shingle"))
-      .distinct()
-      .select(col("id"), col("shingle"), Hashing.hash32(col("shingle")).as("sh"))
+          i => Hashing.hash32(
+            concat_ws(" ", (0 until n).map(j => element_at(col("tk"), i + j + 1)): _*))))
+        .as("sh"))
+    if (distinct) exploded.distinct() else exploded
   }
 
   /** MinHash signatures: one row per doc with numHashes min-perm
-    * columns mh0..mh{k-1} (single hash-agg pass, map-side partial).
+    * columns mh0..mh{k-1} plus the doc's shingle-set size `sz`
+    * (single hash-agg pass, map-side partial — the size rides along
+    * for free instead of costing a second pass over the shingles).
+    * Requires distinct (id, sh) input: sz is the Jaccard set size.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
-      min(Hashing.minhashPerm(i, col("sh"))).as(s"mh$i"))
+      min(Hashing.minhashPerm(i, col("sh"))).as(s"mh$i")) :+
+      count(lit(1)).as("sz")
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: bucket id per (band, banded-signature-hash);
     * candidate pairs are docs sharing any bucket.
+    *
+    * `dedupPairs=false` skips the final pair-distinct: callers that
+    * feed the pairs into a semi-join (verifyJaccard) get dedup for
+    * free and save a wide shuffle.
     */
-  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def lshCandidates(sig: DataFrame, numHashes: Int, bands: Int,
+      dedupPairs: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { bIdx =>
       struct(lit(bIdx).as("band"),
@@ -66,21 +84,38 @@ object Dedup {
     val buckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    buckets.as("l")
+    val pairs = buckets.as("l")
       .join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    if (dedupPairs) pairs.distinct() else pairs
   }
 
   /** Exact Jaccard for given candidate pairs via shared-shingle
     * counts: |A∩B| / (|A| + |B| - |A∩B|).
+    *
+    * The shingle relation is semi-joined down to candidate doc ids
+    * BEFORE the self-join: without it, one boilerplate shingle with
+    * df=d fans out d² join rows corpus-wide before the candidate-pair
+    * filter can prune (the round-1 scale-killer — at df=10⁶ that is
+    * 10¹² rows). Results are bit-identical: intersections only ever
+    * involve candidate docs' shingles.
     */
-  def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+  def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame =
+    verifyJaccard(sh, pairs, sh.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+
+  /** As above with pre-computed per-doc shingle-set sizes (id, sz) —
+    * callers that already aggregated over `sh` (minhash signatures)
+    * pass them in to avoid a second pass. `sh` must be distinct
+    * (id, sh) rows.
+    */
+  def verifyJaccard(sh: DataFrame, pairs: DataFrame, sizes: DataFrame): DataFrame = {
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val shc = sh.join(candIds, Seq("id"), "left_semi")
+    val inter = shc.as("a")
+      .join(shc.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .join(pairs, col("a.id") === pairs("id_a") && col("b.id") === pairs("id_b"), "left_semi")
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -93,7 +128,11 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
-    * candidate pairs → exact-verify ≥ tau.
+    * candidate pairs → exact-verify ≥ tau. One corpus-wide shuffle
+    * builds signatures+sizes; candidate pairs come only from the LSH
+    * bucket join; the verify stage touches candidate docs' shingles
+    * only (semi-join before any value self-join), so no stage ever
+    * fans out on a hot boilerplate shingle.
     */
   def minhashDedup(
       df: DataFrame,
@@ -103,10 +142,13 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       tau: Double = 0.6): DataFrame = {
-    val sh = shingles(df, id, text, shingleSize).select(col("id"), col("sh")).distinct()
+    val sh = shingles(df, id, text, shingleSize)
     val sig = minhashSignatures(sh, numHashes)
-    val cand = lshCandidates(sig, numHashes, bands)
-    verifyJaccard(sh, cand).filter(col("jaccard") >= tau)
+    // pair-dedup is free in the verify stage's semi-join; sizes ride
+    // along from the signature agg
+    val cand = lshCandidates(sig, numHashes, bands, dedupPairs = false)
+    verifyJaccard(sh, cand, sig.select(col("id"), col("sz")))
+      .filter(col("jaccard") >= tau)
   }
 
   /** 32-bit SimHash per document: bit b of the signature is the sign
