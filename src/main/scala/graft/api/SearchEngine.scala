@@ -36,7 +36,7 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
 
   lazy val stats: SegmentIO.IndexStats = SegmentIO.readStats(indexDir)
 
-  /** Norms are one row per shard — cached across queries (the
+  /** Norms are one row per (shard, page) — cached across queries (the
     * reference's lazy-loaded resident index, src/search_engine.py:48-70).
     */
   private lazy val normsCached = SegmentIO.readNorms(spark, indexDir).cache()
@@ -59,7 +59,7 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     val n = stats.numDocs
     val termMeta: Map[String, (Double, Double)] = dictRows.map { d =>
       val idf = Bm25.idf(n, d.df)
-      d.term -> (idf, idf * d.max_tfnorm)
+      d.term -> (idf, Bm25.boundScore(idf, d.max_tf, d.min_dl, stats.avgdl))
     }.toMap
     val present = qTerms.filter(termMeta.contains)
     if (present.isEmpty) return empty
@@ -76,28 +76,37 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     val kLocal = math.min(k, MaxTopK)
     val minScoreLocal = minScore
     val conjLocal = conjunctive
+    val pageSizeLocal = stats.normsPageSize
+    val dpsLocal = stats.docsPerShard
 
     val hits = postings
       .groupByKey(_.shard)
       .cogroup(norms.groupByKey(_.shard)) {
         (shard: Int, blocks: Iterator[PostingBlock], normRows: Iterator[NormsRow]) =>
-          val normOpt = normRows.toSeq.headOption
-          if (normOpt.isEmpty) Iterator.empty
+          // two-level dl lookup: page = (doc - shardBase) / pageSize,
+          // then in-page offset — no array or row ever scales with
+          // shard size, and no Long difference is narrowed to Int
+          // before the page division
+          val pages = normRows.toArray
+          if (pages.isEmpty) Iterator.empty
           else {
-            val norm = normOpt.get
-            val dlArr = Varbyte.decodeInts(norm.dl_bytes, norm.n)
-            val base = norm.first_doc
+            val shardBase = shard.toLong * dpsLocal
+            val dlArrs = new Array[Array[Int]](pages.map(_.page).max + 1)
+            pages.foreach(p => dlArrs(p.page) = Varbyte.decodeInts(p.dl_bytes, p.n))
             val byTerm = blocks.toArray.groupBy(_.term)
             val cursors = presentLocal.flatMap { t =>
               byTerm.get(t).map { bs =>
                 val (idf, maxScore) = metaLocal(t)
-                new Wand.TermCursor(t, idf, maxScore, bs)
+                new Wand.TermCursor(t, idf, maxScore, bs, avgdl)
               }
             }
             if (cursors.isEmpty || (conjLocal && cursors.length < presentLocal.length))
               Iterator.empty
             else {
-              val dl = (d: Long) => dlArr((d - base).toInt)
+              val dl = (d: Long) => {
+                val rel = d - shardBase
+                dlArrs((rel / pageSizeLocal).toInt)((rel % pageSizeLocal).toInt)
+              }
               val res =
                 if (conjLocal)
                   Wand.topKConjunctive(cursors, dl, avgdl, kLocal, minScoreLocal)

@@ -13,12 +13,25 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * <dir>/
-  *   docs/        parquet, partitioned by shard, doc_id-sorted
-  *   dictionary/  parquet, term-sorted: term, df, cf, max_tfnorm
-  *   postings/    parquet, partitioned by shard, (term, block_id)-sorted
-  *   stats.json   num_docs, avgdl, total_tokens, shards, block size
+  *   docs/        parquet, doc_id-sorted; carries the token array
+  *                (build intermediate, column-pruned away by readers)
+  *   dictionary/  parquet, term-sorted: term, df, cf, max_tf, min_dl
+  *   postings/    parquet, partitionBy(shard) dirs, (term, block_id)-
+  *                sorted within files — a shard dir is the unit of
+  *                overwrite for append/resume
+  *   norms/       parquet, partitionBy(shard), one row per fixed-size
+  *                doc-id page
+  *   stats.json   num_docs, avgdl, total_tokens, shards, block size,
+  *                norms page size
   *   manifest/    per-stage JSON manifests (lineage + resume markers)
   * }}}
+  *
+  * Format v3 invariant: NOTHING on disk depends on corpus-level
+  * statistics (avgdl) — block/dictionary metadata store raw (max_tf,
+  * min_dl) bounds and the avgdl-dependent BM25 upper bounds are
+  * derived at query time. This is what makes incremental append
+  * sound: adding documents changes avgdl, which would invalidate any
+  * stored tf-norm, but never invalidates (max_tf, min_dl).
   *
   * "Iceberg-style": no Iceberg runtime jar ships in /opt/spark/jars,
   * so the snapshot/manifest metadata layer is written explicitly
@@ -42,10 +55,30 @@ object SegmentIO {
       dl: Int,
       shard: Int)
 
+  /** Build-side docs row: [[IndexedTurn]] plus the token array, so the
+    * corpus is tokenized exactly ONCE (in the docs stage) and the
+    * postings stage explodes the carried array instead of re-running
+    * the tokenizer over every turn. Query-side readers never select
+    * `tk` — parquet column pruning makes the carry free at read time.
+    */
+  case class IndexedTurnTk(
+      doc_id: Long,
+      conv_id: String,
+      turn_idx: Int,
+      role: String,
+      text: String,
+      tool: String,
+      ts: Timestamp,
+      dl: Int,
+      shard: Int,
+      tk: Array[String])
+
   /** One compressed posting block (block size cfg.blockSize docs):
     * delta+varbyte doc ids, varbyte tfs, block-max metadata for WAND.
-    * block_max_tfnorm is idf-free (bound = idf * block_max_tfnorm at
-    * query time) so merging sub-postings never recomputes df.
+    * (block_max_tf, block_min_dl) give the avgdl-independent score
+    * upper bound idf * tfNorm(max_tf, min_dl, avgdl) at query time —
+    * tfNorm is monotone increasing in tf and decreasing in dl, so the
+    * bound dominates every member doc's contribution.
     */
   case class PostingBlock(
       term: String,
@@ -56,19 +89,25 @@ object SegmentIO {
       doc_bytes: Array[Byte],
       tf_bytes: Array[Byte],
       block_max_tf: Int,
-      block_max_tfnorm: Double,
+      block_min_dl: Int,
       sum_tf: Long,
       shard: Int)
 
-  case class DictEntry(term: String, df: Long, cf: Long, max_tfnorm: Double)
-
-  /** Per-shard doc-length (BM25 norm) array: doc ids within a shard
-    * are contiguous [first_doc, first_doc + n), so dl lookup is
-    * array[doc_id - first_doc]. One row per shard keeps query-time
-    * norm access a single pruned-scan row fetch instead of a
-    * docs-table scan.
+  /** Per-term stats; (max_tf, min_dl) bound the term's score the same
+    * way block metadata does, globally.
     */
-  case class NormsRow(shard: Int, n: Int, first_doc: Long, dl_bytes: Array[Byte])
+  case class DictEntry(term: String, df: Long, cf: Long, max_tf: Int, min_dl: Int)
+
+  /** One fixed-size page of the per-shard doc-length (BM25 norm)
+    * array: doc ids within a page are contiguous
+    * [first_doc, first_doc + n), so dl lookup is a two-level index
+    * (page = (doc - shardBase) / pageSize, then array offset). Pages
+    * keep every row O(pageSize) regardless of shard size — no row
+    * scales with the corpus, and no (doc - base) difference ever has
+    * to fit an Int across more than one page.
+    */
+  case class NormsRow(shard: Int, page: Int, n: Int, first_doc: Long,
+      dl_bytes: Array[Byte])
 
   case class IndexStats(
       numDocs: Long,
@@ -76,7 +115,8 @@ object SegmentIO {
       totalTokens: Long,
       numShards: Int,
       docsPerShard: Long,
-      blockSize: Int)
+      blockSize: Int,
+      normsPageSize: Int)
 
   def docsPath(dir: String) = s"$dir/docs"
   def normsPath(dir: String) = s"$dir/norms"
@@ -91,7 +131,8 @@ object SegmentIO {
     Files.createDirectories(Paths.get(dir))
     val json =
       s"""{"num_docs":${s.numDocs},"avgdl":${s.avgdl},"total_tokens":${s.totalTokens},""" +
-        s""""num_shards":${s.numShards},"docs_per_shard":${s.docsPerShard},"block_size":${s.blockSize}}"""
+        s""""num_shards":${s.numShards},"docs_per_shard":${s.docsPerShard},""" +
+        s""""block_size":${s.blockSize},"norms_page_size":${s.normsPageSize}}"""
     Files.write(statsPath(dir), json.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -100,7 +141,8 @@ object SegmentIO {
     def f(k: String): String =
       s""""$k":([-0-9.eE]+)""".r.findFirstMatchIn(json).get.group(1)
     IndexStats(f("num_docs").toLong, f("avgdl").toDouble, f("total_tokens").toLong,
-      f("num_shards").toInt, f("docs_per_shard").toLong, f("block_size").toInt)
+      f("num_shards").toInt, f("docs_per_shard").toLong, f("block_size").toInt,
+      f("norms_page_size").toInt)
   }
 
   // ---- per-stage manifests: lineage + resume markers ----
@@ -170,6 +212,15 @@ object SegmentIO {
       .as[IndexedTurn]
   }
 
+  /** Build-side reader including the carried token array. */
+  def readDocsTk(spark: SparkSession, dir: String): Dataset[IndexedTurnTk] = {
+    import spark.implicits._
+    spark.read.parquet(docsPath(dir))
+      .select("doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "dl", "shard", "tk")
+      .as[IndexedTurnTk]
+  }
+
   def readDict(spark: SparkSession, dir: String): Dataset[DictEntry] = {
     import spark.implicits._
     spark.read.parquet(dictPath(dir)).as[DictEntry]
@@ -178,15 +229,20 @@ object SegmentIO {
   def readNorms(spark: SparkSession, dir: String): Dataset[NormsRow] = {
     import spark.implicits._
     spark.read.parquet(normsPath(dir))
-      .select("shard", "n", "first_doc", "dl_bytes")
+      .select(col("shard").cast("int").as("shard"), col("page"), col("n"),
+        col("first_doc"), col("dl_bytes"))
       .as[NormsRow]
   }
 
   def readPostings(spark: SparkSession, dir: String): Dataset[PostingBlock] = {
     import spark.implicits._
+    // shard comes back as a partition-directory column — cast pins the
+    // type regardless of partition-inference settings
     spark.read.parquet(postingsPath(dir))
-      .select("term", "block_id", "n", "first_doc", "last_doc", "doc_bytes",
-        "tf_bytes", "block_max_tf", "block_max_tfnorm", "sum_tf", "shard")
+      .select(col("term"), col("block_id"), col("n"), col("first_doc"),
+        col("last_doc"), col("doc_bytes"), col("tf_bytes"),
+        col("block_max_tf"), col("block_min_dl"), col("sum_tf"),
+        col("shard").cast("int").as("shard"))
       .as[PostingBlock]
   }
 }

@@ -21,6 +21,11 @@ object Bm25 {
   def termScore(tf: Int, dl: Int, avgdl: Double, numDocs: Long, df: Long): Double =
     idf(numDocs, df) * tfNorm(tf, dl, avgdl)
 
-  /** Upper bound of a term's score given its max tf-norm in a block. */
-  def blockMaxScore(idfV: Double, maxTfNorm: Double): Double = idfV * maxTfNorm
+  /** Upper bound of a term's score from avgdl-independent (max_tf,
+    * min_dl) metadata: tfNorm is increasing in tf and decreasing in
+    * dl, so tfNorm(max_tf, min_dl) >= tfNorm(tf_i, dl_i) for every
+    * member doc i — a safe WAND bound under any avgdl.
+    */
+  def boundScore(idfV: Double, maxTf: Int, minDl: Int, avgdl: Double): Double =
+    idfV * tfNorm(maxTf, minDl, avgdl)
 }

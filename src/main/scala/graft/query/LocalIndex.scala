@@ -26,11 +26,17 @@ class LocalIndex(spark: SparkSession, dir: String) {
   val dict: Map[String, DictEntry] =
     SegmentIO.readDict(spark, dir).collect().map(d => d.term -> d).toMap
 
-  /** shard -> (first_doc, decoded dl array) */
-  val norms: Map[Int, (Long, Array[Int])] =
+  /** shard -> page-indexed decoded dl arrays (two-level lookup:
+    * page = (doc - shardBase) / pageSize, then in-page offset).
+    */
+  val norms: Map[Int, Array[Array[Int]]] =
     SegmentIO.readNorms(spark, dir).collect()
-      .map(n => n.shard -> (n.first_doc, Varbyte.decodeInts(n.dl_bytes, n.n)))
-      .toMap
+      .groupBy(_.shard)
+      .map { case (s, rows) =>
+        val arrs = new Array[Array[Int]](rows.map(_.page).max + 1)
+        rows.foreach(p => arrs(p.page) = Varbyte.decodeInts(p.dl_bytes, p.n))
+        s -> arrs
+      }
 
   /** term -> shard -> blocks (block_id-sorted), compressed at rest */
   val postings: Map[String, Map[Int, Array[PostingBlock]]] =
@@ -56,24 +62,29 @@ class LocalIndex(spark: SparkSession, dir: String) {
     val meta = present.map { t =>
       val d = dict(t)
       val idf = Bm25.idf(n, d.df)
-      t -> (idf, idf * d.max_tfnorm)
+      t -> (idf, Bm25.boundScore(idf, d.max_tf, d.min_dl, stats.avgdl))
     }.toMap
     // shards traverse in parallel (the in-JVM analog of per-executor
     // shard fan-out); per-shard results are deterministic, and the
     // final merge re-sorts, so parallelism cannot affect output
     import scala.collection.parallel.CollectionConverters._
+    val pageSize = stats.normsPageSize
     val all = shardIds.par.flatMap { shard =>
-      val (base, dlArr) = norms(shard)
+      val dlArrs = norms(shard)
+      val shardBase = shard.toLong * stats.docsPerShard
       val cursors = present.flatMap { t =>
         postings(t).get(shard).map { bs =>
           val (idf, ms) = meta(t)
-          new Wand.TermCursor(t, idf, ms, bs)
+          new Wand.TermCursor(t, idf, ms, bs, stats.avgdl)
         }
       }
       if (cursors.isEmpty || (conjunctive && cursors.length < present.length))
         Array.empty[(Long, Double)]
       else {
-        val dl = (d: Long) => dlArr((d - base).toInt)
+        val dl = (d: Long) => {
+          val rel = d - shardBase
+          dlArrs((rel / pageSize).toInt)((rel % pageSize).toInt)
+        }
         if (conjunctive) Wand.topKConjunctive(cursors, dl, stats.avgdl, k, minScore)
         else Wand.topKDisjunctive(cursors, dl, stats.avgdl, k, minScore)
       }

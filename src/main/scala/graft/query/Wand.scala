@@ -22,18 +22,27 @@ object Wand {
 
   /** Cursor over one term's posting blocks (within one shard).
     * Skips whole blocks via (first_doc, last_doc) without decoding.
+    *
+    * Block score bounds derive from the stored avgdl-independent
+    * (block_max_tf, block_min_dl) pair at cursor time:
+    * idf * tfNorm(max_tf, min_dl, avgdl) dominates every member doc's
+    * contribution (tfNorm is monotone in both arguments), so WAND
+    * pruning stays safe under any corpus statistics — including after
+    * incremental appends shift avgdl.
     */
   final class TermCursor(
       val term: String,
       val idf: Double,
-      val maxScore: Double, // idf * global max_tfnorm (dictionary)
-      blocksIn: Array[PostingBlock]) {
+      val maxScore: Double, // idf * tfNorm(dict max_tf, dict min_dl)
+      blocksIn: Array[PostingBlock],
+      avgdl: Double) {
 
     private val blocks = blocksIn.sortBy(_.block_id)
     private var bi = 0
     private var pos = -1
     private var ids: Array[Long] = null
     private var tfs: Array[Int] = null
+    private var blockBound = 0.0
     var curDoc: Long = Long.MaxValue
 
     if (blocks.nonEmpty) { decodeBlock(0); pos = 0; curDoc = ids(0) }
@@ -42,6 +51,7 @@ object Wand {
       val b = blocks(i)
       ids = Varbyte.decodeDeltas(b.doc_bytes, b.n)
       tfs = Varbyte.decodeInts(b.tf_bytes, b.n)
+      blockBound = idf * Bm25.tfNorm(b.block_max_tf, b.block_min_dl, avgdl)
       bi = i
     }
 
@@ -50,7 +60,7 @@ object Wand {
 
     /** Upper bound of this term's score inside the current block. */
     def curBlockBound: Double =
-      if (exhausted) 0.0 else idf * blocks(bi).block_max_tfnorm
+      if (exhausted) 0.0 else blockBound
 
     /** Last doc of the current block (for block-max skipping). */
     def curBlockLast: Long =

@@ -12,10 +12,10 @@ class IndexSpec extends SparkSpec {
 
   val NumConvs = 120
 
-  private def postingsContent(dir: String): Set[(Int, String, Int, Int, Long, Long, Seq[Byte], Seq[Byte], Int, Double, Long)] =
+  private def postingsContent(dir: String): Set[(Int, String, Int, Int, Long, Long, Seq[Byte], Seq[Byte], Int, Int, Long)] =
     SegmentIO.readPostings(spark, dir).collect().map { b =>
       (b.shard, b.term, b.block_id, b.n, b.first_doc, b.last_doc,
-        b.doc_bytes.toSeq, b.tf_bytes.toSeq, b.block_max_tf, b.block_max_tfnorm,
+        b.doc_bytes.toSeq, b.tf_bytes.toSeq, b.block_max_tf, b.block_min_dl,
         b.sum_tf)
     }.toSet
 
@@ -97,15 +97,122 @@ class IndexSpec extends SparkSpec {
       "N-vs-4N reproducibility: posting content must not depend on parallelism")
   }
 
+  test("incremental append is content-identical to a full rebuild") {
+    import spark.implicits._
+    val all = TranscriptGen.corpus(spark, NumConvs)
+    // split at a conv boundary: every B key sorts after every A key
+    val a = all.filter($"conv_id" < "c00000080")
+    val b = all.filter($"conv_id" >= "c00000080")
+    // fixed-size shards (append-stable) + small pages; boundary shard
+    // is partially filled by A, so the decode-merge-re-encode path runs
+    val cfgFixed = IndexBuilder.Config(blockSize = 8, numPartitions = 8,
+      docsPerShard = Some(300), normsPageSize = 64)
+    val fullDir = tempDir("graft-idx-full")
+    IndexBuilder.build(spark, all, fullDir, cfgFixed)
+    val incrDir = tempDir("graft-idx-incr")
+    IndexBuilder.build(spark, a.as[graft.model.Turn], incrDir, cfgFixed)
+    val st = IndexBuilder.appendBuild(spark, b.as[graft.model.Turn], incrDir,
+      numPartitions = 8)
+    assert(st == SegmentIO.readStats(fullDir), "stats must match the full build")
+    assert(postingsContent(incrDir) == postingsContent(fullDir),
+      "append must produce byte-identical posting blocks")
+    assert(SegmentIO.readDict(spark, incrDir).collect().toSet ==
+      SegmentIO.readDict(spark, fullDir).collect().toSet)
+    def normsOf(d: String) = SegmentIO.readNorms(spark, d).collect()
+      .map(r => (r.shard, r.page, r.n, r.first_doc, r.dl_bytes.toSeq)).toSet
+    assert(normsOf(incrDir) == normsOf(fullDir))
+    def docsOf(d: String) = SegmentIO.readDocs(spark, d).collect()
+      .map(r => (r.doc_id, r.conv_id, r.turn_idx, r.dl, r.shard)).toSet
+    assert(docsOf(incrDir) == docsOf(fullDir))
+    // re-delivering already-indexed turns is a no-op (anti-join)
+    assert(IndexBuilder.appendBuild(spark, b.as[graft.model.Turn], incrDir,
+      numPartitions = 8) == st)
+    // out-of-order keys are rejected (they would renumber doc ids)
+    val early = Seq(graft.model.Turn("a0000", 0, "user", "hello brand new text",
+      "", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).toDS()
+    intercept[IllegalArgumentException] {
+      IndexBuilder.appendBuild(spark, early, incrDir, numPartitions = 8)
+    }
+  }
+
+  test("shard-group resume: only missing groups rebuild, committed shards untouched") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val dir = tempDir("graft-idx-groups")
+    val cfg = IndexBuilder.Config(blockSize = 8, numShards = 4,
+      numPartitions = 8, postingsGroups = 4) // groups == shards: per-shard commits
+    IndexBuilder.build(spark, TranscriptGen.corpus(spark, NumConvs), dir, cfg)
+    val before = postingsContent(dir)
+    def shardFiles(s: Int): Seq[Path] =
+      Files.list(Path.of(SegmentIO.postingsPath(dir), s"shard=$s"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    val keptMtimes = (shardFiles(0) ++ shardFiles(1))
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    assert(keptMtimes.nonEmpty)
+    // simulate a crash after groups 0,1 committed: groups 2,3 lost
+    def rmrf(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rmrf)
+      Files.deleteIfExists(p)
+    }
+    rmrf(Path.of(SegmentIO.postingsPath(dir), "shard=2"))
+    rmrf(Path.of(SegmentIO.postingsPath(dir), "shard=3"))
+    Files.deleteIfExists(SegmentIO.manifestPath(dir, "postings_g2"))
+    Files.deleteIfExists(SegmentIO.manifestPath(dir, "postings_g3"))
+    Files.deleteIfExists(SegmentIO.manifestPath(dir, "postings"))
+    IndexBuilder.build(spark, TranscriptGen.corpus(spark, NumConvs), dir, cfg)
+    assert(postingsContent(dir) == before, "resumed content must be identical")
+    keptMtimes.foreach { case (p, t) =>
+      assert(Files.getLastModifiedTime(p) == t,
+        s"committed shard file $p must not be rewritten on resume")
+    }
+  }
+
   test("block metadata is sound: bounds hold for every block") {
     val stats = SegmentIO.readStats(baseDir)
+    val dlByDoc = SegmentIO.readDocs(spark, baseDir).collect()
+      .map(d => d.doc_id -> d.dl).toMap
     SegmentIO.readPostings(spark, baseDir).collect().foreach { b =>
       val ids = graft.index.Varbyte.decodeDeltas(b.doc_bytes, b.n)
       val tfs = graft.index.Varbyte.decodeInts(b.tf_bytes, b.n)
       assert(ids.head == b.first_doc && ids.last == b.last_doc)
       assert(ids.toSeq == ids.sorted.toSeq && ids.distinct.length == ids.length)
       assert(tfs.max <= b.block_max_tf)
+      // avgdl-independent bound inputs are exact per block
+      assert(b.block_min_dl == ids.map(dlByDoc).min)
+      assert(tfs.max == b.block_max_tf || tfs.max < b.block_max_tf)
       assert(b.n <= stats.blockSize)
     }
+  }
+
+  test("paged norms: pages reconstruct the exact dl sequence, no row scales with shard") {
+    val dir = tempDir("graft-idx-paged")
+    // page size deliberately far below docsPerShard so every shard
+    // splits into many pages
+    IndexBuilder.build(spark, TranscriptGen.corpus(spark, NumConvs), dir,
+      IndexBuilder.Config(blockSize = 8, numShards = 4, numPartitions = 8,
+        normsPageSize = 16))
+    val stats = SegmentIO.readStats(dir)
+    assert(stats.normsPageSize == 16)
+    val rows = SegmentIO.readNorms(spark, dir).collect()
+    assert(rows.forall(_.n <= 16), "no page exceeds the page size")
+    assert(rows.groupBy(_.shard).forall(_._2.length > 1),
+      "every shard has multiple pages at this page size")
+    // page-wise reconstruction == docs-table dl in doc_id order
+    val dls = rows.sortBy(r => (r.shard, r.page))
+      .flatMap(r => graft.index.Varbyte.decodeInts(r.dl_bytes, r.n))
+    val expected = SegmentIO.readDocs(spark, dir).collect()
+      .sortBy(_.doc_id).map(_.dl)
+    assert(dls.toSeq == expected.toSeq)
+    // page boundaries: first_doc = shardBase + page * pageSize
+    rows.foreach { r =>
+      assert(r.first_doc == r.shard.toLong * stats.docsPerShard + r.page.toLong * 16)
+    }
+    // the paged index answers queries identically to the engine oracle
+    val li = new graft.query.LocalIndex(spark, dir)
+    val oracle = graft.query.LocalOracle.buildCorpus(
+      TranscriptGen.localCorpus(NumConvs))
+    val expectedTop = graft.query.LocalOracle.topK(oracle, "t00000 t00001", 10)
+      .map { case (d, s) => (d.docId, s) }
+    assert(li.retrieve("t00000 t00001", 10).toSeq == expectedTop)
   }
 }
