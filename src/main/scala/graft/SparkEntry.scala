@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.api.SearchEngine
 import graft.index.{IndexBuilder, SegmentIO}
 import graft.model.QuerySpec
-import graft.ops.{Corpus, Dedup, Hashing, Multimodal, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, EntityResolution, Hashing, Multimodal, Similarity, TextOps}
 import graft.query.OracleEngine
 import graft.tokenize.Tokenizer
 
@@ -239,6 +239,16 @@ object SparkEntry {
       Dedup.simhash(docs, col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")
     }),
+    // SimHash neighbor join: banded bit-chunk candidates + exact
+    // Hamming verify. maxDist(3) < bands(4) makes the banding lossless,
+    // so the DuckDB oracle can brute-force all pairs and must agree
+    // exactly.
+    "q_simhash_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 300)
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxDist = 3, bands = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 200)
       Dedup.ngramJaccardJoin(docs, col("doc_id"), col("text"), n = 2, tau = 0.15)
@@ -321,6 +331,40 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
           round(col("overlap"), 6).as("overlap"))
         .orderBy("id_a", "id_b")
+    }),
+    // entity-resolution cascade (reference app.py:694-782): parse
+    // citation strings (app.py:530-567 field regexes), then
+    // exact-id -> normalized-title -> fuzzy-token-overlap, each stage
+    // consuming only what earlier stages missed. Citations are
+    // synthesized deterministically from the documents table: group A
+    // (qid%3==0) keeps its true id, groups B/C get a corrupt id;
+    // group B quotes the exact title (uppercased — exercises
+    // normalization); group C quotes an offset slice (only the fuzzy
+    // stage can match it).
+    "q_entity_resolution" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 60)
+      val cit = docs.select(col("doc_id").as("qid"),
+        concat(lit("PMID: "),
+          when(col("doc_id") % 3 === 0, (col("doc_id") + 1000000).cast("string"))
+            .otherwise(lit("8888888")),
+          lit(". \""),
+          when(col("doc_id") % 3 === 2, substring(col("text"), 21, 100))
+            .otherwise(upper(substring(col("text"), 1, 80))),
+          lit("\" (2021)")).as("citation"))
+      val parsed = cit
+        .select(col("qid"), EntityResolution.parseCitation(col("citation")).as("p"))
+        .select(col("qid"),
+          col("p.ref_id").as("exact_key"),
+          EntityResolution.normKey(col("p.title")).as("norm_key"),
+          EntityResolution.tokenSet(col("p.title")).as("tk"))
+      val catalog = docs.select(col("doc_id").as("cid"),
+        (col("doc_id") + 1000000).cast("string").as("exact_key"),
+        EntityResolution.normKey(substring(col("text"), 1, 80)).as("norm_key"),
+        EntityResolution.tokenSet(col("text")).as("tk"))
+      EntityResolution.resolveCascade(parsed, catalog, minInter = 3, minOverlap = 0.4)
+        .select(col("qid"), col("cid"), col("method"),
+          round(col("score"), 6).as("score"))
+        .orderBy("qid")
     }),
     // F4: review-exclusion predicate (keyword markers, prefix window)
     "q_exclusion_filter" -> ((s, dir) => {
@@ -557,7 +601,8 @@ object SparkEntry {
        |WHERE jaccard >= $tau ORDER BY id_a, id_b""".stripMargin
   }
 
-  private def simhashSql: String = {
+  /** CTEs `tf`, `sums`, `sig(id, simhash)` for docs matching pred. */
+  private def simhashSigCtes(pred: String): String = {
     val sums = (0 until 32).map(bit =>
       s"sum(CASE WHEN (h >> $bit) % 2 = 1 THEN tf ELSE -tf END) AS s$bit")
       .mkString(",\n    ")
@@ -566,11 +611,26 @@ object SparkEntry {
       .mkString(" + ")
     s"""WITH tf AS (
        |  SELECT doc_id AS id, term, count(*) AS tf, ${Hashing.hash32Sql("term")} AS h
-       |  FROM (SELECT doc_id, unnest($tkLenSql) AS term FROM documents WHERE doc_id < 50)
+       |  FROM (SELECT doc_id, unnest($tkLenSql) AS term FROM documents WHERE $pred)
        |  GROUP BY doc_id, term),
-       |sums AS (SELECT id, $sums FROM tf GROUP BY id)
-       |SELECT id AS doc_id, ($sig)::BIGINT AS simhash FROM sums ORDER BY doc_id""".stripMargin
+       |sums AS (SELECT id, $sums FROM tf GROUP BY id),
+       |sig AS (SELECT id, ($sig)::BIGINT AS simhash FROM sums)""".stripMargin
   }
+
+  private def simhashSql: String =
+    s"""${simhashSigCtes("doc_id < 50")}
+       |SELECT id AS doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin
+
+  /** Brute-force all-pairs Hamming join — exact twin of the banded
+    * Spark plan because maxDist < bands makes the banding lossless.
+    */
+  private def simhashPairsSql(maxDist: Int): String =
+    s"""${simhashSigCtes("doc_id < 300")}
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |FROM sig a JOIN sig b ON a.id < b.id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
 
   private def ngramJaccardSql(n: Int, tau: Double, maxDf: Int): String =
     s"""WITH tk AS (SELECT doc_id AS id, $tkLenSql AS tk FROM documents WHERE doc_id < 200),
@@ -835,6 +895,62 @@ object SparkEntry {
           |       round(avg(mean_word_len), 6) AS avg_wlen,
           |       sum(n_ws_tokens)::BIGINT AS total_tokens
           |FROM m GROUP BY lang ORDER BY lang""".stripMargin),
+      "q_entity_resolution" -> {
+        val tkOf = (e: String) =>
+          s"""list_distinct(list_filter(
+             |  regexp_split_to_array(lower($e), '[^a-z0-9]+'),
+             |  x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}))""".stripMargin
+        val normOf = (e: String) =>
+          s"trim(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'))"
+        s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 60),
+           |cit AS (
+           |  SELECT doc_id AS qid,
+           |    'PMID: ' ||
+           |    CASE WHEN doc_id % 3 = 0 THEN (doc_id + 1000000)::VARCHAR
+           |         ELSE '8888888' END ||
+           |    '. "' ||
+           |    CASE WHEN doc_id % 3 = 2 THEN substr(text, 21, 100)
+           |         ELSE upper(substr(text, 1, 80)) END ||
+           |    '" (2021)' AS citation
+           |  FROM docs),
+           |parsed AS (
+           |  SELECT qid,
+           |    regexp_extract(citation, '\\b(\\d{6,10})\\b', 1) AS exact_key,
+           |    ${normOf("""regexp_extract(citation, '"([^"]+)"', 1)""")} AS norm_key,
+           |    ${tkOf("""regexp_extract(citation, '"([^"]+)"', 1)""")} AS tk
+           |  FROM cit),
+           |cat AS (
+           |  SELECT doc_id AS cid, (doc_id + 1000000)::VARCHAR AS exact_key,
+           |    ${normOf("substr(text, 1, 80)")} AS norm_key,
+           |    ${tkOf("text")} AS tk
+           |  FROM docs),
+           |s1 AS (
+           |  SELECT qid, min(cid) AS cid FROM parsed q JOIN cat c USING (exact_key)
+           |  WHERE length(exact_key) > 0 GROUP BY qid),
+           |r1 AS (SELECT * FROM parsed WHERE qid NOT IN (SELECT qid FROM s1)),
+           |s2 AS (
+           |  SELECT qid, min(cid) AS cid FROM r1 q JOIN cat c USING (norm_key)
+           |  WHERE length(norm_key) > 0 GROUP BY qid),
+           |r2 AS (SELECT * FROM r1 WHERE qid NOT IN (SELECT qid FROM s2)),
+           |qtok AS (SELECT qid, len(tk) AS qsz, unnest(tk) AS tok FROM r2),
+           |ctok AS (SELECT cid, unnest(tk) AS tok FROM cat),
+           |ov AS (
+           |  SELECT qid, qsz, cid, count(*) AS inter,
+           |         count(*)::DOUBLE / qsz AS overlap
+           |  FROM qtok JOIN ctok USING (tok) GROUP BY qid, qsz, cid),
+           |s3 AS (
+           |  SELECT qid, cid, overlap FROM (
+           |    SELECT qid, cid, overlap,
+           |           row_number() OVER (PARTITION BY qid
+           |                              ORDER BY overlap DESC, cid) AS rn
+           |    FROM ov WHERE inter >= 3 AND overlap >= 0.4) WHERE rn = 1),
+           |res AS (
+           |  SELECT qid, cid, 'exact_id' AS method, 1.0::DOUBLE AS score FROM s1
+           |  UNION ALL SELECT qid, cid, 'norm_key', 1.0::DOUBLE FROM s2
+           |  UNION ALL SELECT qid, cid, 'fuzzy_overlap', overlap FROM s3)
+           |SELECT qid, cid, method, round(score, 6) AS score FROM res
+           |ORDER BY qid""".stripMargin
+      },
       "q_lang_id" -> {
         // marker lists generated from TextOps.LangMarkers so the two
         // engines can never drift; tie-break = (score, lang) max, i.e.
@@ -863,6 +979,7 @@ object SparkEntry {
       },
       "q_minhash_lsh" -> minhashLshSql(2, 0.2),
       "q_simhash" -> simhashSql,
+      "q_simhash_pairs" -> simhashPairsSql(3),
       "q_ngram_jaccard" -> ngramJaccardSql(2, 0.15, 1000),
       "q_ann_cosine" ->
         s"""WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

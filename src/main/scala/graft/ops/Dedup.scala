@@ -170,6 +170,48 @@ object Dedup {
     sums.select(col("id"), sig.as("simhash"))
   }
 
+  /** SimHash near-duplicate PAIRS via a banded bit-chunk join: the
+    * 32-bit signature splits into `bands` equal chunks; documents
+    * sharing any chunk value become candidates; exact Hamming
+    * distance (bit_count of xor) <= maxDist verifies.
+    *
+    * LOSSLESS for maxDist < bands (pigeonhole: <= maxDist differing
+    * bits touch <= maxDist chunks, so at least one chunk matches
+    * exactly) — so with the default 4 bands / distance 3 this finds
+    * EVERY qualifying pair while only ever joining on chunk equality,
+    * never all-pairs. This is the pair-finding stage the signature
+    * alone can't provide at scale.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxDist: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(maxDist < bands, "banded join is only lossless for maxDist < bands")
+    val sig = simhash(df, id, text)
+    val bits = 32 / bands
+    val mask = (1L << bits) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bits).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val chunks = sig
+      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"),
+        col("bb.chunk").as("chunk"))
+    chunks.as("l")
+      .join(chunks.as("r"),
+        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
+      .distinct() // a close pair matches in several bands
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard similarity join over the full corpus:
     * shared-shingle equi-join prefilter (only pairs with ≥1 common
     * shingle are materialized), then exact verification. Stop-shingle

@@ -38,10 +38,22 @@ object StreamingIngest {
 
   /** Read every staged batch back as one corpus (input to the normal
     * batch IndexBuilder — compaction = re-index of staging).
+    *
+    * MERGE semantics keyed on (conv_id, turn_idx): a re-delivered,
+    * possibly CHANGED turn replaces the earlier version — keep-latest-
+    * batch wins (the reference's `INSERT OR REPLACE ... (pmid)` upsert,
+    * `src/pubmed_downloader.py:321-326`). The window partitions by the
+    * key, so dedup work is per-key, never a global sort.
     */
   def stagedCorpus(spark: SparkSession, stagingDir: String): Dataset[Turn] = {
     import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"conv_id", $"turn_idx")
+      .orderBy(desc("batch_id"), desc("ts"), desc("xxh"))
     spark.read.parquet(s"$stagingDir/batches")
+      .withColumn("xxh", xxhash64($"role", $"text", $"tool")) // deterministic tiebreak
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
       .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
       .as[Turn]
   }

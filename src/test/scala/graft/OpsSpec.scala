@@ -56,6 +56,20 @@ class OpsSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(3L)) > hamming(sh(0L), sh(2L)))
   }
 
+  test("simhash banded pair join == brute force for maxDist < bands") {
+    val sigs = Dedup.simhash(docsDF, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashPairs(docsDF, col("doc_id"), col("text"),
+      maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, "banding must be lossless at maxDist < bands")
+    assert(expected.nonEmpty, "planted dups must produce at least one pair")
+  }
+
   test("ngram jaccard join matches a local brute-force computation") {
     val got = Dedup.ngramJaccardJoin(docsDF, col("doc_id"), col("text"), n = 2, tau = 0.01)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -46,6 +46,29 @@ class StreamingSpec extends SparkSpec {
     assert(hits.toSeq == expected)
   }
 
+  test("keyed upsert: a re-delivered CHANGED turn replaces, never duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val staging = tempDir("graft-staging-upsert")
+    val all = TranscriptGen.localCorpus(5)
+    val victim = all.head
+    val input = MemoryStream[Turn]
+    input.addData(all)
+    StreamingIngest.stageTurns(input.toDS(), staging).start().awaitTermination(60000)
+    // later batch re-delivers the same (conv_id, turn_idx) with new text
+    val revised = victim.copy(text = "revised content entirely different now")
+    input.addData(Seq(revised))
+    StreamingIngest.stageTurns(input.toDS(), staging).start().awaitTermination(60000)
+
+    val staged = StreamingIngest.stagedCorpus(spark, staging)
+    assert(staged.count() == all.size, "upsert must not grow the corpus")
+    val rows = staged
+      .filter($"conv_id" === victim.conv_id && $"turn_idx" === victim.turn_idx)
+      .collect()
+    assert(rows.length == 1, "exactly one row per key")
+    assert(rows(0).text == revised.text, "latest batch wins")
+  }
+
   test("watermarked windowed aggregation over event time") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
