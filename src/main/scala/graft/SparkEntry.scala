@@ -33,7 +33,7 @@ object SparkEntry {
   /** Bump when the segment schema changes — keys the on-disk cache so
     * a stale index from an older build never gets read.
     */
-  private val SegmentFormatVersion = 3
+  private val SegmentFormatVersion = 4
   private def indexFor(spark: SparkSession, sfDir: String): String =
     idxCache.getOrElseUpdate(sfDir, {
       val dir = s"/tmp/graft-qidx-v$SegmentFormatVersion-" +
@@ -269,6 +269,16 @@ object SparkEntry {
           round(col("cos"), 6).as("cos"))
         .orderBy("pid", "rank")
     }),
+    // multi-table banded LSH ANN with bucket-size caps — the 10^9-
+    // vector shape (recall stacked across tables, pair space bounded
+    // per bucket, hot buckets dropped before the join)
+    "q_ann_lsh_multi" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.lshCosinePairsMulti(emb, col("vec_id"), col("embedding"),
+        dim = 64, tables = 4, planesPerTable = 6, tau = 0.4, maxBucketSize = 200)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_lsh_buckets" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       emb.select(Similarity.lshBucket(col("embedding"), dim = 64, planes = 8).as("bucket"))
@@ -436,6 +446,40 @@ object SparkEntry {
           col("text").startsWith("the fast"))
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")
+    }),
+    // S4 date assembly: month-name map + zero-padded part join +
+    // to_date (the reference's pub_date construction,
+    // src/pubmed_downloader.py:252-270: month map, lpad, assembly)
+    "q_date_assembly" -> ((s, dir) => {
+      val monthNames = Seq("January", "February", "March", "April", "May",
+        "June", "July", "August", "September", "October", "November", "December")
+      val ev = s.read.parquet(s"$dir/events.parquet").filter(col("event_id") < 200)
+        // month NAME via literal array (locale-independent), like the
+        // reference's textual month fields
+        .withColumn("mname",
+          element_at(array(monthNames.map(lit): _*), month(col("ts"))))
+      val mnum = monthNames.zipWithIndex.foldLeft(lit(0)) { case (acc, (n, i)) =>
+        when(col("mname") === n, lit(i + 1)).otherwise(acc)
+      }
+      ev.select(col("event_id"), col("mname"),
+        to_date(concat(
+          year(col("ts")).cast("string"), lit("-"),
+          lpad(mnum.cast("string"), 2, "0"), lit("-"),
+          lpad(dayofmonth(col("ts")).cast("string"), 2, "0"))).as("assembled"))
+        .orderBy("event_id")
+    }),
+    // A4 score statistics: deterministic (sorted-fold) average over
+    // the scored candidate set, plus min/max
+    "q_score_stats" -> ((s, dir) => {
+      val scored = OracleEngine.topK(s, Corpus.transcripts(s, dir),
+        "vector window stream", k = 500)
+      scored.agg(
+        count(lit(1)).as("n"),
+        round(min(col("score")), 4).as("min_s"),
+        round(max(col("score")), 4).as("max_s"),
+        round(
+          aggregate(array_sort(collect_list(round(col("score"), 6))),
+            lit(0.0), (a, x) => a + x) / count(lit(1)), 4).as("avg_s"))
     }),
     // date bucketing
     "q_date_ops" -> ((s, dir) => {
@@ -667,6 +711,40 @@ object SparkEntry {
     s"($bits)::BIGINT"
   }
 
+  /** Bucket for multi-table LSH: table t uses plane indices
+    * t*planes .. t*planes+planes-1 (independent plane sets).
+    */
+  private def lshTableBucketSql(dim: Int, t: Int, planes: Int): String = {
+    val bits = (0 until planes).map { j =>
+      val g = t * planes + j
+      s"""CASE WHEN list_dot_product(embedding::DOUBLE[],
+         |  list_transform(range(0, $dim),
+         |    d -> ((1103515245 * (${g.toLong * dim} + d) + 12345) % 65536)::DOUBLE / 65536.0 - 0.5)
+         |  ) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"($bits)::BIGINT"
+  }
+
+  private def annLshMultiSql(dim: Int, tables: Int, planes: Int,
+      tau: Double, maxBucket: Int): String = {
+    val ent = (0 until tables).map(t =>
+      s"SELECT vec_id AS id, $t AS tbl, ${lshTableBucketSql(dim, t, planes)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ent AS ($ent),
+       |ok AS (SELECT tbl, bucket FROM ent GROUP BY 1, 2
+       |       HAVING count(*) <= $maxBucket),
+       |pr AS (SELECT * FROM ent WHERE (tbl, bucket) IN (SELECT (tbl, bucket) FROM ok)),
+       |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |         FROM pr l JOIN pr r
+       |           ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.id < r.id),
+       |res AS (
+       |  SELECT id_a, id_b, $cosSql AS cos
+       |  FROM cand JOIN embeddings a ON a.vec_id = id_a
+       |       JOIN embeddings b ON b.vec_id = id_b)
+       |SELECT id_a, id_b, round(cos, 6) AS cos FROM res
+       |WHERE cos >= $tau ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     val stop = Tokenizer.stopListSql
     Map(
@@ -794,6 +872,28 @@ object SparkEntry {
         """SELECT lang, count(*) AS n FROM documents
           |WHERE contains(text, 'vector window') OR text LIKE 'the fast%'
           |GROUP BY lang ORDER BY lang""".stripMargin,
+      "q_date_assembly" -> {
+        val monthNames = Seq("January", "February", "March", "April", "May",
+          "June", "July", "August", "September", "October", "November", "December")
+        val mcase = monthNames.zipWithIndex
+          .map { case (n, i) => s"WHEN '$n' THEN ${i + 1}" }
+          .mkString("CASE monthname(ts) ", " ", " END")
+        s"""SELECT event_id, monthname(ts) AS mname,
+           |  (year(ts)::VARCHAR || '-' ||
+           |   lpad(($mcase)::VARCHAR, 2, '0') || '-' ||
+           |   lpad(day(ts)::VARCHAR, 2, '0'))::DATE AS assembled
+           |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin
+      },
+      "q_score_stats" ->
+        s"""${bm25Ctes(Seq("stream", "vector", "window"))},
+           |topk AS (SELECT * FROM scored
+           |         ORDER BY score DESC, conv_id, turn_idx LIMIT 500)
+           |SELECT count(*) AS n,
+           |       round(min(score), 4) AS min_s,
+           |       round(max(score), 4) AS max_s,
+           |       round(sum(round(score, 6) ORDER BY round(score, 6))
+           |             / count(*), 4) AS avg_s
+           |FROM topk""".stripMargin,
       "q_date_ops" ->
         """SELECT date_trunc('month', l_shipdate) AS ship_month, count(*) AS n,
           |       round(sum(l_quantity), 4) AS qty
@@ -1003,6 +1103,7 @@ object SparkEntry {
       "q_lsh_buckets" ->
         s"""SELECT ${lshBucketSql(64, 8)} AS bucket, count(*) AS n
            |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "q_ann_lsh_multi" -> annLshMultiSql(64, 4, 6, 0.4, 200),
       "q_media_features" ->
         """WITH m AS (
           |  SELECT doc_id AS media_id,

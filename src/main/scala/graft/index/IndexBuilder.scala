@@ -21,9 +21,10 @@ import SegmentIO._
   *                (conv_id, turn_idx) → rank. Rank is partition-
   *                boundary independent, so any parallelism yields the
   *                same ids (N vs 4N reproducibility, SURVEY §7.5).
-  *                The corpus is tokenized HERE, exactly once — the
-  *                token array is carried in the docs table and the
-  *                postings stage explodes it instead of re-tokenizing.
+  *                The corpus is tokenized HERE, exactly once per
+  *                process — a fresh build hands the tokenized dataset
+  *                to the later stages in memory (tokens never hit
+  *                parquet); a resume re-derives them from stored text.
   *  2. stats      num_docs / avgdl / total_tokens as aggregations
   *                (the reference's global corpus statistic,
   *                `src/embedding_generator.py:241-276`).
@@ -132,28 +133,43 @@ object IndexBuilder {
     * = only the shard dirs present in `blocks` are replaced, which is
     * what makes group commits and boundary-shard append rewrites
     * possible without touching other shards' files.
+    *
+    * @return the lineage checksum of the written rows, observed during
+    *         the write job itself (XOR-foldable across group writes)
     */
-  private def writePostings(dir: String, blocks: Dataset[PostingBlock]): Unit =
+  private def writePostings(dir: String, blocks: Dataset[PostingBlock]): Long = {
+    val obs = new org.apache.spark.sql.Observation(s"postings-${System.nanoTime()}")
     blocks.toDF()
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "term", "block_id")
+      .observe(obs,
+        expr("bit_xor(xxhash64(term, block_id, first_doc, last_doc))").as("x"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard")
       .parquet(postingsPath(dir))
+    Option(obs.get("x")).map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
 
   /** Paged norms for the given docs slice, written with dynamic
     * partition overwrite (append rebuilds only shards >= boundary).
+    * The norms manifest aggregates ride the write job itself via
+    * Observation — no read-back pass.
     */
   private def writeNorms(
       spark: SparkSession,
       dir: String,
       docs: Dataset[(Int, Long, Int)], // (shard, doc_id, dl)
       docsPerShard: Long,
-      pageSize: Int): Unit = {
+      pageSize: Int,
+      // Some(n): this write covers the WHOLE norms relation, so the
+      // observed aggregates are the manifest. None (partial append
+      // rewrite): the caller writes the manifest from a full read-back.
+      manifestNumDocs: Option[Long]): Unit = {
     import spark.implicits._
     val dps = docsPerShard
     val p = pageSize
+    val obs = new org.apache.spark.sql.Observation(s"norms-${System.nanoTime()}")
     docs
       .groupByKey { case (s, d, _) => (s, ((d - s.toLong * dps) / p).toInt) }
       .mapGroups { (key: (Int, Int), rows: Iterator[(Int, Long, Int)]) =>
@@ -162,46 +178,64 @@ object IndexBuilder {
           Varbyte.encodeInts(arr.map(_._3)))
       }
       .toDF()
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "page")
+      .observe(obs, count(lit(1)).as("rows"),
+        expr("bit_xor(xxhash64(shard, page, n, first_doc))").as("x"))
+      // written straight from the groupByKey output — an extra
+      // repartition(shard) wave costs more than the handful of small
+      // files per shard dir it would save
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard")
       .parquet(normsPath(dir))
+    val row = obs.get
+    manifestNumDocs.foreach(n =>
+      writeManifest(dir, StageManifest("norms", n,
+        row("rows").asInstanceOf[Long],
+        Option(row("x")).map(_.asInstanceOf[Long]).getOrElse(0L), Nil)))
   }
 
-  /** Dictionary = tiny agg over block metadata (df = Σ block n, cf =
-    * Σ block tf sums, (max_tf, min_dl) = the term's global score-bound
-    * inputs). Derived, so append just re-runs it.
+  /** Overall postings manifest: per-shard rows from parquet footers
+    * (driver-side metadata, NO Spark job) + a lineage checksum that
+    * either rode the write jobs (fresh build: XOR of group
+    * observations) or, when some groups were resumed from a previous
+    * process, comes from one column-pruned read-back.
+    */
+  private def writePostingsManifest(
+      spark: SparkSession, dir: String, numDocs: Long,
+      observedChecksum: Option[Long]): Unit = {
+    val perShard = shardRowCounts(postingsPath(dir))
+    val checksum = observedChecksum.getOrElse {
+      val m = spark.read.parquet(postingsPath(dir))
+        .agg(expr("bit_xor(xxhash64(term, block_id, first_doc, last_doc))"))
+        .collect()(0)
+      if (m.isNullAt(0)) 0L else m.getLong(0)
+    }
+    writeManifest(dir, StageManifest("postings", numDocs,
+      perShard.map(_._2).sum, checksum, perShard))
+  }
+
+  /** Dictionary from ONE column-pruned read of block metadata
+    * (doc/tf byte columns never leave the parquet files): df = Σ block
+    * n, cf = Σ block tf sums, (max_tf, min_dl) = the term's global
+    * score-bound inputs. Derived data, so append just re-runs it. The
+    * dictionary manifest rides the write via Observation.
     */
   private def writeDictionary(spark: SparkSession, dir: String, numDocs: Long): Unit = {
     import spark.implicits._
-    val dict = readPostings(spark, dir)
+    val obs = new org.apache.spark.sql.Observation(s"dict-${System.nanoTime()}")
+    spark.read.parquet(postingsPath(dir))
+      .select($"term", $"n", $"sum_tf", $"block_max_tf", $"block_min_dl")
       .groupBy($"term")
       .agg(sum($"n").cast("long").as("df"), sum($"sum_tf").cast("long").as("cf"),
         max($"block_max_tf").cast("int").as("max_tf"),
         min($"block_min_dl").cast("int").as("min_dl"))
-    dict.orderBy($"term").write.mode("overwrite").parquet(dictPath(dir))
-    val m = spark.read.parquet(dictPath(dir)).agg(count(lit(1)),
-      expr("bit_xor(xxhash64(term, df, cf))")).collect()(0)
+      .observe(obs, count(lit(1)).as("rows"),
+        expr("bit_xor(xxhash64(term, df, cf))").as("x"))
+      .orderBy($"term").write.mode("overwrite").parquet(dictPath(dir))
+    val row = obs.get
     writeManifest(dir, StageManifest("dictionary", numDocs,
-      m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1), Nil))
-  }
-
-  /** Overall postings manifest: per-shard counts + lineage checksum
-    * over the written (compressed, pruned) parquet.
-    */
-  private def writePostingsManifest(spark: SparkSession, dir: String, numDocs: Long): Unit = {
-    val shardRows = spark.read.parquet(postingsPath(dir))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("c"),
-        expr("bit_xor(xxhash64(term, block_id, first_doc, last_doc))").as("x"))
-      .collect()
-    val perShard = shardRows.map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
-    val checksum = shardRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
-      .foldLeft(0L)(_ ^ _)
-    writeManifest(dir, StageManifest("postings", numDocs,
-      perShard.map(_._2).sum, checksum, perShard))
+      row("rows").asInstanceOf[Long],
+      Option(row("x")).map(_.asInstanceOf[Long]).getOrElse(0L), Nil))
   }
 
   private def writeNormsManifest(spark: SparkSession, dir: String, numDocs: Long): Unit = {
@@ -219,41 +253,59 @@ object IndexBuilder {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
 
-    // ---- stage 1: docs (the single tokenize pass) ----
+    // ---- stage 1: docs ----
+    // The tokenized dataset is handed to the postings stage WITHOUT a
+    // persist: its sort-shuffle files are reused across actions (same
+    // RDD lineage), so the postings pass re-runs only the cheap,
+    // perfectly-parallel rank+tokenize map. Persisting instead was
+    // measured SLOWER end-to-end on this host: the columnar cache's
+    // fresh pages fault serially in the hypervisor (~2-4 s/GB,
+    // parallelism-independent), while the re-run map scales with
+    // cores. Carrying tokens through the docs parquet lost even worse
+    // (3-5x the write time). Norms never re-tokenize — they read the
+    // stored dl column.
+    var idsMem: Option[Dataset[IndexedTurnTk]] = None
     if (!stageDone(dir, "docs")) timed("docs") {
       // the input lineage is walked several times (count, range-
       // partitioner sample, sort, rank) — materialize generated
       // inputs once; file-backed inputs re-scan instead
       val cached =
         if (cfg.cacheInput) turns.persist(StorageLevel.MEMORY_AND_DISK) else turns
-      val n = timed("docs.count")(cached.count())
-      val docsPerShard = cfg.docsPerShard.getOrElse(
-        math.max(1L, (n + cfg.numShards - 1) / cfg.numShards))
-      val numShards = math.max(1L, (n + docsPerShard - 1) / docsPerShard).toInt
+      // fixed-size-shard mode needs no up-front count (shard = id/dps
+      // regardless of n); otherwise count once to derive dps. n itself
+      // always comes from the manifest aggregation below.
+      val docsPerShard = cfg.docsPerShard.getOrElse {
+        val n = timed("docs.count")(cached.count())
+        math.max(1L, (n + cfg.numShards - 1) / cfg.numShards)
+      }
       val ids = timed("docs.assign")(
-        assignDocIds(spark, cached, cfg.numPartitions, docsPerShard)
-          .persist(StorageLevel.MEMORY_AND_DISK))
-      timed("docs.write")(ids.write.mode("overwrite").parquet(docsPath(dir)))
-      // manifest counts + lineage checksum in ONE job over the
-      // pre-write cache (per-shard XOR checksums fold to the global)
-      val shardRows = timed("docs.manifest")(ids
-        .groupBy("shard")
-        .agg(count(lit(1)).as("c"),
-          expr("bit_xor(xxhash64(doc_id, conv_id, turn_idx))").as("x"),
-          sum($"dl").as("tok"))
-        .collect())
-      val perShard = shardRows.map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
-      val checksum = shardRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
-        .foldLeft(0L)(_ ^ _)
-      val totalTokens = shardRows.map(r => if (r.isNullAt(3)) 0L else r.getLong(3)).sum
+        assignDocIds(spark, cached, cfg.numPartitions, docsPerShard))
+      // global manifest aggregates (count, checksum, token sum) ride
+      // the write job via Observation; per-shard rows come from the
+      // written parquet footers (driver-side metadata, no job)
+      val obs = new org.apache.spark.sql.Observation(s"docs-${System.nanoTime()}")
+      timed("docs.write")(
+        ids.toDF().drop("tk")
+          .observe(obs, count(lit(1)).as("rows"),
+            expr("bit_xor(xxhash64(doc_id, conv_id, turn_idx))").as("x"),
+            sum($"dl").as("tok"))
+          .write.mode("overwrite").partitionBy("shard").parquet(docsPath(dir)))
+      val row = obs.get
+      val n = row("rows").asInstanceOf[Long]
+      val checksum = Option(row("x")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val totalTokens = Option(row("tok")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val perShard = timed("docs.manifest")(shardRowCounts(docsPath(dir)))
+      val numShards = math.max(1L, (n + docsPerShard - 1) / docsPerShard).toInt
       val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
       writeStats(dir, IndexStats(n, avgdl, totalTokens, numShards,
         docsPerShard, cfg.blockSize, cfg.normsPageSize))
       writeManifest(dir, StageManifest("docs", n, n, checksum, perShard))
-      ids.unpersist()
+      idsMem = Some(ids)
       if (cfg.cacheInput) cached.unpersist()
     }
-    val docs = readDocsTk(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // single consumer (postings) -> no persist; resume path tokenizes
+    // from stored text inside readDocsTk, once
+    val docs = idsMem.getOrElse(readDocsTk(spark, dir))
 
     // ---- stage 2: corpus statistics (df/cf live in the dictionary;
     // num_docs/avgdl/total_tokens were folded into the docs-stage
@@ -274,6 +326,8 @@ object IndexBuilder {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(postingsPath(dir))))
         (0 until groups).foreach(g =>
           java.nio.file.Files.deleteIfExists(manifestPath(dir, s"postings_g$g")))
+      var obsXor = 0L
+      var allFresh = true
       (0 until groups).foreach { g =>
         if (!stageDone(dir, s"postings_g$g")) timed(s"postings.group$g") {
           val toksAll = rawTokens(spark, docs)
@@ -283,26 +337,40 @@ object IndexBuilder {
           val blocks =
             if (cfg.salts <= 1) encodeDirect(spark, toks, stats, cfg)
             else encodeSalted(spark, toks, stats, cfg)
-          timed(s"postings.write$g")(writePostings(dir, blocks))
+          obsXor ^= timed(s"postings.write$g")(writePostings(dir, blocks))
           writeManifest(dir, StageManifest(s"postings_g$g", stats.numDocs, 0L, 0L, Nil))
-        }
+        } else allFresh = false
       }
-      writePostingsManifest(spark, dir, stats.numDocs)
+      // fresh build: checksum = XOR of the groups' observed checksums;
+      // resumed build: some groups' rows were written by an earlier
+      // process, so fall back to one column-pruned read-back
+      writePostingsManifest(spark, dir, stats.numDocs,
+        if (allFresh) Some(obsXor) else None)
     }
 
-    // ---- stage 4: dictionary ----
-    if (!stageDone(dir, "dictionary")) timed("dictionary") {
-      writeDictionary(spark, dir, stats.numDocs)
+    // ---- stages 4+5: dictionary and norms — independent inputs
+    // (postings metadata vs the docs cache) and independent sinks, so
+    // their small jobs run CONCURRENTLY: the Spark scheduler interleaves
+    // both jobs' tasks and the wall cost is max(dict, norms), not the
+    // sum. Each stage still writes its own resume marker on completion.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fDict =
+        if (stageDone(dir, "dictionary")) Future.unit
+        else Future(timed("dictionary")(writeDictionary(spark, dir, stats.numDocs)))
+      val fNorms =
+        if (stageDone(dir, "norms")) Future.unit
+        else Future(timed("norms")(writeNorms(spark, dir,
+          // dl comes from the written docs table (3-column pruned
+          // read) — norms never re-tokenize
+          readDocs(spark, dir)
+            .select($"shard", $"doc_id", $"dl").as[(Int, Long, Int)],
+          stats.docsPerShard, stats.normsPageSize, Some(stats.numDocs))))
+      Await.result(fDict, Duration.Inf)
+      Await.result(fNorms, Duration.Inf)
     }
-
-    // ---- stage 5: per-(shard, page) norm arrays (query-time dl) ----
-    if (!stageDone(dir, "norms")) timed("norms") {
-      writeNorms(spark, dir,
-        docs.select($"shard", $"doc_id", $"dl").as[(Int, Long, Int)],
-        stats.docsPerShard, stats.normsPageSize)
-      writeNormsManifest(spark, dir, stats.numDocs)
-    }
-    docs.unpersist()
 
     writeSnapshot(dir, Seq("docs", "stats", "dictionary", "postings", "norms"))
     stats
@@ -370,7 +438,8 @@ object IndexBuilder {
     val oldN = stats0.numDocs
     val deltaIds = assignDocIds(spark, delta, numPartitions, dps, baseId = oldN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    timed("append.docs")(deltaIds.write.mode("append").parquet(docsPath(dir)))
+    timed("append.docs")(deltaIds.toDF().drop("tk")
+      .write.mode("append").partitionBy("shard").parquet(docsPath(dir)))
 
     val aggRow = deltaIds.agg(sum($"dl")).collect()(0)
     val deltaTokens = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
@@ -410,16 +479,17 @@ object IndexBuilder {
       normsPageSize = stats0.normsPageSize)
     val blocks = encodeDirect(spark, input, stats1, cfg1)
     timed("append.postings")(writePostings(dir, blocks))
-    writePostingsManifest(spark, dir, newN)
 
-    // ---- dictionary: derived agg, recompute ----
+    // ---- postings manifest + dictionary: derived, recompute (the
+    // observed checksum covers only the rewritten shards → read-back) ----
+    writePostingsManifest(spark, dir, newN, observedChecksum = None)
     timed("append.dictionary")(writeDictionary(spark, dir, newN))
 
     // ---- norms: rebuild shards >= boundary from the docs table ----
     timed("append.norms")(writeNorms(spark, dir,
       readDocs(spark, dir).filter($"shard" >= boundary)
         .select($"shard", $"doc_id", $"dl").as[(Int, Long, Int)],
-      dps, stats0.normsPageSize))
+      dps, stats0.normsPageSize, None))
     writeNormsManifest(spark, dir, newN)
 
     // ---- stats + docs manifest refresh ----
@@ -511,10 +581,13 @@ object IndexBuilder {
     // partition count would make multi-GB per-task sorts (tasks just
     // queue instead; output content is partition-invariant — tested)
     val shuffleParts = math.max(cfg.numPartitions, 16)
+    // the hash-leading sort key is an EXPRESSION, not a column: it is
+    // materialized by the sorter per row post-shuffle and never
+    // shuffled (8 incompressible bytes/row saved from the build's
+    // biggest shuffle)
     val sorted = toks
-      .withColumn("thash", xxhash64($"term"))
       .repartition(shuffleParts, $"shard", $"term")
-      .sortWithinPartitions($"shard", $"thash", $"term", $"doc_id")
+      .sortWithinPartitions($"shard", xxhash64($"term"), $"term", $"doc_id")
       .select($"shard", $"term", $"doc_id", $"dl", $"tfinc")
       .as[(Int, String, Long, Int, Int)]
     val blockSize = stats.blockSize
@@ -555,9 +628,8 @@ object IndexBuilder {
     val shuffleParts = math.max(cfg.numPartitions, 16)
     val salted = toks
       .withColumn("salt", pmod(xxhash64($"doc_id"), lit(cfg.salts)).cast("int"))
-      .withColumn("thash", xxhash64($"term"))
       .repartition(shuffleParts, $"shard", $"term", $"salt")
-      .sortWithinPartitions($"shard", $"thash", $"term", $"salt", $"doc_id")
+      .sortWithinPartitions($"shard", xxhash64($"term"), $"term", $"salt", $"doc_id")
       .select($"shard", $"term", $"salt", $"doc_id", $"dl", $"tfinc")
       .as[(Int, String, Int, Long, Int, Int)]
 

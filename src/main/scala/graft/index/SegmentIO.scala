@@ -55,11 +55,13 @@ object SegmentIO {
       dl: Int,
       shard: Int)
 
-  /** Build-side docs row: [[IndexedTurn]] plus the token array, so the
-    * corpus is tokenized exactly ONCE (in the docs stage) and the
-    * postings stage explodes the carried array instead of re-running
-    * the tokenizer over every turn. Query-side readers never select
-    * `tk` — parquet column pruning makes the carry free at read time.
+  /** Build-side docs row: [[IndexedTurn]] plus the token array. The
+    * corpus is tokenized exactly ONCE per build process: a fresh build
+    * hands the docs-stage dataset (tokens included) to the postings
+    * stage IN MEMORY; a resumed build reconstructs `tk` lazily from
+    * the stored text. The array is never written to parquet — carrying
+    * it through the docs write was measured 3-5x more expensive than
+    * the tokenize it saves.
     */
   case class IndexedTurnTk(
       doc_id: Long,
@@ -176,6 +178,27 @@ object SegmentIO {
   def stageDone(dir: String, stage: String): Boolean =
     Files.exists(manifestPath(dir, stage))
 
+  /** Per-shard row counts straight from parquet footers (driver-side
+    * metadata reads, ~1 ms per file — no Spark job). Works on any
+    * partitionBy(shard) table dir.
+    */
+  def shardRowCounts(path: String): Seq[(String, Long)] = {
+    val base = new java.io.File(path)
+    val dirs = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    dirs.map { d =>
+      val rows = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".parquet")).map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      (d.getName.stripPrefix("shard="), rows)
+    }.sortBy(_._1).toSeq
+  }
+
   def readManifestChecksum(dir: String, stage: String): Option[Long] = {
     if (!stageDone(dir, stage)) None
     else {
@@ -207,17 +230,24 @@ object SegmentIO {
 
   def readDocs(spark: SparkSession, dir: String): Dataset[IndexedTurn] = {
     import spark.implicits._
+    // shard is a partition-directory column — cast pins its type
     spark.read.parquet(docsPath(dir))
-      .select("doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts", "dl", "shard")
+      .select(col("doc_id"), col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), col("tool"), col("ts"), col("dl"),
+        col("shard").cast("int").as("shard"))
       .as[IndexedTurn]
   }
 
-  /** Build-side reader including the carried token array. */
+  /** Build-side reader: reconstructs the token array from the stored
+    * text (the resume path's single tokenize).
+    */
   def readDocsTk(spark: SparkSession, dir: String): Dataset[IndexedTurnTk] = {
     import spark.implicits._
     spark.read.parquet(docsPath(dir))
-      .select("doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts",
-        "dl", "shard", "tk")
+      .select(col("doc_id"), col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), col("tool"), col("ts"), col("dl"),
+        col("shard").cast("int").as("shard"),
+        graft.tokenize.Tokenizer.tokensCol(col("text")).as("tk"))
       .as[IndexedTurnTk]
   }
 

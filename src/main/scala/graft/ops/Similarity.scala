@@ -96,4 +96,69 @@ object Similarity {
         cosine(col("l.vec"), col("r.vec")).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** Multi-table banded LSH — the version that survives 10⁹ vectors:
+    *
+    *  - `tables` independent hash tables (disjoint plane sets), so
+    *    recall is 1-(1-p^planes)^tables instead of a single table's
+    *    p^planes — more planes per table (smaller buckets) without
+    *    giving up recall;
+    *  - per-(table, bucket) self-joins only — the pair space is
+    *    Σ bucket², never n²;
+    *  - `maxBucketSize` drops degenerate hot buckets (near-constant
+    *    vector regions) before they can quadratically explode a join,
+    *    the same stop-guard idea as `Dedup.ngramJaccardJoin`'s
+    *    maxShingleDf.
+    *
+    * Pairs colliding in several tables dedup through `distinct`
+    * before the exact-cosine verify.
+    */
+  def lshCosinePairsMulti(
+      emb: DataFrame,
+      id: Column,
+      vec: Column,
+      dim: Int,
+      tables: Int = 4,
+      planesPerTable: Int = 6,
+      tau: Double = 0.4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val tableCols = (0 until tables).map { t =>
+      // plane indices continue across tables -> independent planes
+      val bits = (0 until planesPerTable).map { j =>
+        val g = t * planesPerTable + j
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), lit(dim - 1)),
+            (x, d) => x.cast("double") * planeComponent(g, dim)(d)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
+    }
+    // (id, tbl, bucket) is consumed by four plan branches (bucket
+    // sizing, both join sides, pruning); persisting the tiny relation
+    // stops the 24 hyperplane projections (interpreted higher-order
+    // functions) from re-evaluating once per branch
+    val entries = emb
+      .select(id.as("id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist()
+    val okBuckets = entries.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val pruned = entries.join(okBuckets, Seq("tbl", "bucket"), "left_semi")
+    val cand = pruned.as("l")
+      .join(pruned.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val vecs = emb.select(id.as("id"), vec.as("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
 }
