@@ -122,25 +122,33 @@ object Similarity {
       planesPerTable: Int = 6,
       tau: Double = 0.4,
       maxBucketSize: Int = 10000): DataFrame = {
-    val tableCols = (0 until tables).map { t =>
-      // plane indices continue across tables -> independent planes
-      val bits = (0 until planesPerTable).map { j =>
-        val g = t * planesPerTable + j
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), lit(dim - 1)),
-            (x, d) => x.cast("double") * planeComponent(g, dim)(d)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("tbl"), bits.reduce(_ + _).as("bucket"))
-    }
+    // plane index g = tbl*planesPerTable + j explodes into ROWS, so the
+    // projection expression stays small (a tables*planes-wide
+    // expression tree was measured to cost seconds of driver-side
+    // codegen compilation per query); the bucket reassembles with one
+    // tiny aggregation. plane(g)[d] mirrors planeComponent exactly.
+    val nPlanes = tables * planesPerTable
+    val g = col("g")
+    val planeOfG = (d: Column) =>
+      ((lit(1103515245L) * (g * lit(dim.toLong) + d) + lit(12345L)) % lit(65536L))
+        .cast("double") / lit(65536.0) - lit(0.5)
+    val powers = array((0 until planesPerTable).map(j => lit(1L << j)): _*)
+    val proj = aggregate(
+      zip_with(col("vec"), sequence(lit(0), lit(dim - 1)),
+        (x, d) => x.cast("double") * planeOfG(d)),
+      lit(0.0), (acc, x) => acc + x)
     // (id, tbl, bucket) is consumed by four plan branches (bucket
     // sizing, both join sides, pruning); persisting the tiny relation
-    // stops the 24 hyperplane projections (interpreted higher-order
-    // functions) from re-evaluating once per branch
+    // stops the projections from re-evaluating once per branch
     val entries = emb
-      .select(id.as("id"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(id.as("id"), vec.as("vec"),
+        explode(sequence(lit(0), lit(nPlanes - 1))).as("g"))
+      .select(col("id"), (g / lit(planesPerTable)).cast("int").as("tbl"),
+        when(proj > 0,
+          element_at(powers, pmod(g, lit(planesPerTable)).cast("int") + 1))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col("id"), col("tbl"))
+      .agg(sum(col("bit")).cast("long").as("bucket"))
       .persist()
     val okBuckets = entries.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
