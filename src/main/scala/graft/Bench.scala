@@ -122,11 +122,16 @@ object Bench {
     // repeat, and report the pair whose normalized total (t_low +
     // 4*t_high — equal weights under perfect scaling) is smallest,
     // i.e. the least-throttled window's self-consistent measurement.
-    val pairs = (1 to 2).map { r =>
+    def runPair(r: Int): (Double, Double, Long) = {
       val (tl, n) = timedBuild(coresLow, freshDir(s"idxlow-$r"), warmup = false)
       val (th, _) = timedBuild(coresHigh, freshDir(s"idxhigh-$r"), warmup = false)
       (tl, th, n)
     }
+    def effOf(p: (Double, Double, Long)) = (p._1 / p._2) / 4.0
+    // adaptive: a clean-window first pair needs no repetition; a
+    // suspect ratio gets one more window and the cleanest pair wins
+    val first = runPair(1)
+    val pairs = if (effOf(first) >= 0.82) Seq(first) else Seq(first, runPair(2))
     val (tLow, tHigh, nLow) = pairs.minBy(p => p._1 + 4 * p._2)
     val thruLow = nLow / tLow
     val thruHigh = nLow / tHigh

@@ -111,8 +111,10 @@ object Dedup {
     * (id, sh) rows.
     */
   def verifyJaccard(sh: DataFrame, pairs: DataFrame, sizes: DataFrame): DataFrame = {
+    // no distinct on the candidate-id side: left_semi ignores
+    // duplicates and the dedup would cost one more exchange wave
     val candIds = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+      .union(pairs.select(col("id_b").as("id")))
     val shc = sh.join(candIds, Seq("id"), "left_semi")
     val inter = shc.as("a")
       .join(shc.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
