@@ -419,16 +419,22 @@ object SparkEntry {
         .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour", "event_type")
     }),
-    // O1/O3: union + intersect/except set semantics
+    // O1/O3: union + intersect/except set semantics — the three set
+    // operators union into ONE tagged relation so a single action
+    // (not three driver round-trips) computes all counts
     "q_set_ops" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
       val hi = orders.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
       val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
-      val both = hi.intersect(urgent).count()
-      val hiOnly = hi.except(urgent).count()
-      val all = hi.union(urgent).distinct().count()
-      import s.implicits._
-      Seq((both, hiOnly, all)).toDF("both", "hi_only", "union_distinct")
+      def tag(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.select(lit(k).as("k"))
+      tag(hi.intersect(urgent), "both")
+        .union(tag(hi.except(urgent), "hi_only"))
+        .union(tag(hi.union(urgent).distinct(), "union_distinct"))
+        .agg(
+          sum(when(col("k") === "both", 1L).otherwise(0L)).as("both"),
+          sum(when(col("k") === "hi_only", 1L).otherwise(0L)).as("hi_only"),
+          sum(when(col("k") === "union_distinct", 1L).otherwise(0L)).as("union_distinct"))
     }),
     // scalar functions: regex extraction + JSON field access
     "q_scalar_funcs" -> ((s, dir) => {

@@ -30,6 +30,32 @@ class EngineParitySpec extends SparkSpec {
   }
   lazy val engine = new SearchEngine(spark, indexDir)
 
+  test("rank identity survives incremental append (avgdl shift included)") {
+    import org.apache.spark.sql.functions.col
+    // build over the first 200 convs, append the remaining 100 — the
+    // appended index must answer queries exactly like the oracle over
+    // the UNION corpus (avgdl changed by the append, so this exercises
+    // the query-time-derived BM25 bounds end-to-end)
+    val dir = tempDir("graft-index-appended")
+    val all = TranscriptGen.corpus(spark, NumConvs)
+    import spark.implicits._
+    IndexBuilder.build(spark, all.filter(col("conv_id") < "c00000200").as[graft.model.Turn],
+      dir, IndexBuilder.Config(blockSize = 16, numPartitions = 8,
+        docsPerShard = Some(500), normsPageSize = 128))
+    IndexBuilder.appendBuild(spark,
+      all.filter(col("conv_id") >= "c00000200").as[graft.model.Turn], dir,
+      numPartitions = 8)
+    val appended = new SearchEngine(spark, dir)
+    for (q <- QuerySet.referenceQueries.take(10)) {
+      val expected = LocalOracle
+        .topK(oracle, q.text, q.k, q.conjunctive, q.minScore)
+        .map { case (d, s) => (d.docId, s) }
+      val got = appended.retrieve(q.text, q.k, q.minScore, q.conjunctive)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toIndexedSeq
+      assert(got == expected, s"[${q.id}] appended-index mismatch")
+    }
+  }
+
   test("generated corpus is parallelism-invariant") {
     val viaSpark = TranscriptGen.corpus(spark, 50).collect()
       .sortBy(t => (t.conv_id, t.turn_idx))
