@@ -150,11 +150,14 @@ object Similarity {
       .groupBy(col("id"), col("tbl"))
       .agg(sum(col("bit")).cast("long").as("bucket"))
       .persist()
-    val okBuckets = entries.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
+    // hot-bucket cap as a windowed count over the (tbl, bucket)
+    // partitions: one exchange instead of an aggregate + semi-join
+    // pair; partitions are bucket-sized, never corpus-sized
+    val pruned = entries
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
-      .select(col("tbl"), col("bucket"))
-    val pruned = entries.join(okBuckets, Seq("tbl", "bucket"), "left_semi")
+      .select(col("id"), col("tbl"), col("bucket"))
     val cand = pruned.as("l")
       .join(pruned.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&

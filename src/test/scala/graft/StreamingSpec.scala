@@ -46,6 +46,42 @@ class StreamingSpec extends SparkSpec {
     assert(hits.toSeq == expected)
   }
 
+  test("incremental compaction: staged batches appendBuild into the full-build index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val staging = tempDir("graft-staging-incr")
+    val all = TranscriptGen.localCorpus(60)
+    // batch boundary at a conv boundary (appendBuild precondition:
+    // later keys sort after indexed ones)
+    val (a, b) = all.partition(_.conv_id < "c00000040")
+    val cfg = IndexBuilder.Config(blockSize = 16, numPartitions = 4,
+      docsPerShard = Some(250), normsPageSize = 64)
+
+    val input = MemoryStream[Turn]
+    input.addData(a)
+    StreamingIngest.stageTurns(input.toDS(), staging).start().awaitTermination(60000)
+    val dir = tempDir("graft-incr-idx")
+    IndexBuilder.build(spark, StreamingIngest.stagedCorpus(spark, staging), dir, cfg)
+
+    input.addData(b)
+    StreamingIngest.stageTurns(input.toDS(), staging).start().awaitTermination(60000)
+    // incremental compaction: feed the WHOLE staged corpus — the
+    // anti-join inside appendBuild skips everything already indexed
+    IndexBuilder.appendBuild(spark,
+      StreamingIngest.stagedCorpus(spark, staging), dir, numPartitions = 4)
+
+    val fullDir = tempDir("graft-incr-full")
+    IndexBuilder.build(spark, TranscriptGen.corpus(spark, 60), fullDir, cfg)
+    def content(d: String) = graft.index.SegmentIO.readPostings(spark, d)
+      .collect().map(bk => (bk.shard, bk.term, bk.block_id, bk.doc_bytes.toSeq,
+        bk.tf_bytes.toSeq, bk.block_max_tf, bk.block_min_dl, bk.sum_tf)).toSet
+    assert(content(dir) == content(fullDir),
+      "incremental compaction must equal a full rebuild")
+    // and it serves queries
+    val li = new LocalIndex(spark, dir)
+    assert(li.retrieve("needle5alpha needle5beta", 5).nonEmpty)
+  }
+
   test("keyed upsert: a re-delivered CHANGED turn replaces, never duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
