@@ -401,7 +401,7 @@ object IndexBuilder {
     * Output is content-identical to a full build over the union when
     * the full build uses the same fixed docsPerShard (tested in
     * IndexSpec) — possible because no stored metadata depends on
-    * avgdl (segment format v3 invariant).
+    * avgdl (segment format v4 invariant).
     */
   def appendBuild(
       spark: SparkSession,

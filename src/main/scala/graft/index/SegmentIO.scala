@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   *   manifest/    per-stage JSON manifests (lineage + resume markers)
   * }}}
   *
-  * Format v3 invariant: NOTHING on disk depends on corpus-level
+  * Format v4 invariant: NOTHING on disk depends on corpus-level
   * statistics (avgdl) — block/dictionary metadata store raw (max_tf,
   * min_dl) bounds and the avgdl-dependent BM25 upper bounds are
   * derived at query time. This is what makes incremental append
