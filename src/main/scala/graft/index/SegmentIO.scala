@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * <dir>/
-  *   docs/        parquet, doc_id-sorted; carries the token array
-  *                (build intermediate, column-pruned away by readers)
+  *   docs/        parquet, partitionBy(shard) dirs, doc_id-sorted
+  *                within files (text + dl; tokens are NOT stored —
+  *                they live only in the build process, see
+  *                [[IndexedTurnTk]])
   *   dictionary/  parquet, term-sorted: term, df, cf, max_tf, min_dl
   *   postings/    parquet, partitionBy(shard) dirs, (term, block_id)-
   *                sorted within files — a shard dir is the unit of
@@ -55,13 +57,15 @@ object SegmentIO {
       dl: Int,
       shard: Int)
 
-  /** Build-side docs row: [[IndexedTurn]] plus the token array. The
-    * corpus is tokenized exactly ONCE per build process: a fresh build
-    * hands the docs-stage dataset (tokens included) to the postings
-    * stage IN MEMORY; a resumed build reconstructs `tk` lazily from
-    * the stored text. The array is never written to parquet — carrying
-    * it through the docs write was measured 3-5x more expensive than
-    * the tokenize it saves.
+  /** Build-side docs row: [[IndexedTurn]] plus the token array. A
+    * fresh build hands the docs-stage dataset (tokens included) to
+    * the postings stage, whose pass re-runs only the rank+tokenize
+    * map over reused sort-shuffle files; a resumed build reconstructs
+    * `tk` lazily from the stored text. The array is never written to
+    * parquet — carrying it through the docs write was measured 3-5x
+    * more expensive than the tokenize it saves (and persisting it in
+    * the block cache costs more in serialized page faults than the
+    * re-run map — see BASELINE.md round-2 notes).
     */
   case class IndexedTurnTk(
       doc_id: Long,
