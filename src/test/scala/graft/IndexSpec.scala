@@ -135,6 +135,27 @@ class IndexSpec extends SparkSpec {
     }
   }
 
+  test("append at an exact shard boundary (no partial shard to re-encode)") {
+    import spark.implicits._
+    val all = TranscriptGen.corpus(spark, NumConvs)
+    val a = all.filter($"conv_id" < "c00000080")
+    val b = all.filter($"conv_id" >= "c00000080")
+    // docsPerShard = |A| exactly: the old corpus fills shard 0
+    // completely, so the delta-only (no boundary decode) path runs
+    val nA = TranscriptGen.localCorpus(NumConvs).count(_.conv_id < "c00000080")
+    val cfg = IndexBuilder.Config(blockSize = 8, numPartitions = 8,
+      docsPerShard = Some(nA.toLong), normsPageSize = 64)
+    val fullDir = tempDir("graft-idx-full-exact")
+    IndexBuilder.build(spark, all, fullDir, cfg)
+    val incrDir = tempDir("graft-idx-incr-exact")
+    IndexBuilder.build(spark, a.as[graft.model.Turn], incrDir, cfg)
+    assert(SegmentIO.readStats(incrDir).numDocs % nA == 0,
+      "precondition: A must exactly fill its shards")
+    IndexBuilder.appendBuild(spark, b.as[graft.model.Turn], incrDir, numPartitions = 8)
+    assert(postingsContent(incrDir) == postingsContent(fullDir))
+    assert(SegmentIO.readStats(incrDir) == SegmentIO.readStats(fullDir))
+  }
+
   test("shard-group resume: only missing groups rebuild, committed shards untouched") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
