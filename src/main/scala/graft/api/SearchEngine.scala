@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{SegmentIO, Varbyte}
-import graft.index.SegmentIO.{NormsRow, PostingBlock}
+import graft.index.SegmentIO.PostingBlock
 import graft.model._
 import graft.query.{Bm25, Wand}
 import graft.tokenize.Tokenizer
@@ -36,11 +36,6 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
 
   lazy val stats: SegmentIO.IndexStats = SegmentIO.readStats(indexDir)
 
-  /** Norms are one row per (shard, page) — cached across queries (the
-    * reference's lazy-loaded resident index, src/search_engine.py:48-70).
-    */
-  private lazy val normsCached = SegmentIO.readNorms(spark, indexDir).cache()
-
   /** Retrieval core: BM25 top-k as (doc_id, score) — exact scores,
     * no rounding (rounding is an output-boundary contract only).
     */
@@ -67,9 +62,8 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
 
     val postings = SegmentIO.readPostings(spark, indexDir)
       .filter($"term".isin(present.toSeq: _*))
-    val norms = normsCached
 
-    // locals only — the cogroup closure must not capture `this`
+    // locals only — the task closure must not capture `this`
     val avgdl = stats.avgdl
     val metaLocal = termMeta
     val presentLocal = present
@@ -78,43 +72,47 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     val conjLocal = conjunctive
     val pageSizeLocal = stats.normsPageSize
     val dpsLocal = stats.docsPerShard
+    val dirLocal = indexDir
 
+    // Only the term-pruned postings shuffle; each shard's task reads
+    // its OWN norms/shard=N partition dir directly (no job, no
+    // shuffle) and caches the decoded pages executor-locally across
+    // queries — at 10⁹ docs the old per-query norms cogroup
+    // re-shuffled ~GBs of dl bytes per query, the distributed path's
+    // scale-killer.
     val hits = postings
       .groupByKey(_.shard)
-      .cogroup(norms.groupByKey(_.shard)) {
-        (shard: Int, blocks: Iterator[PostingBlock], normRows: Iterator[NormsRow]) =>
-          // two-level dl lookup: page = (doc - shardBase) / pageSize,
-          // then in-page offset — no array or row ever scales with
-          // shard size, and no Long difference is narrowed to Int
-          // before the page division
-          val pages = normRows.toArray
-          if (pages.isEmpty) Iterator.empty
-          else {
-            val shardBase = shard.toLong * dpsLocal
-            val dlArrs = new Array[Array[Int]](pages.map(_.page).max + 1)
-            pages.foreach(p => dlArrs(p.page) = Varbyte.decodeInts(p.dl_bytes, p.n))
-            val byTerm = blocks.toArray.groupBy(_.term)
-            val cursors = presentLocal.flatMap { t =>
-              byTerm.get(t).map { bs =>
-                val (idf, maxScore) = metaLocal(t)
-                new Wand.TermCursor(t, idf, maxScore, bs, avgdl)
-              }
-            }
-            if (cursors.isEmpty || (conjLocal && cursors.length < presentLocal.length))
-              Iterator.empty
-            else {
-              val dl = (d: Long) => {
-                val rel = d - shardBase
-                dlArrs((rel / pageSizeLocal).toInt)((rel % pageSizeLocal).toInt)
-              }
-              val res =
-                if (conjLocal)
-                  Wand.topKConjunctive(cursors, dl, avgdl, kLocal, minScoreLocal)
-                else
-                  Wand.topKDisjunctive(cursors, dl, avgdl, kLocal, minScoreLocal)
-              res.iterator
+      .flatMapGroups { (shard: Int, blocks: Iterator[PostingBlock]) =>
+        // two-level dl lookup: page = (doc - shardBase) / pageSize,
+        // then in-page offset — no array or row ever scales with
+        // shard size, and no Long difference is narrowed to Int
+        // before the page division
+        val dlArrs = SegmentIO.shardDlPages(dirLocal, shard)
+        if (dlArrs.isEmpty) Iterator.empty
+        else {
+          val shardBase = shard.toLong * dpsLocal
+          val byTerm = blocks.toArray.groupBy(_.term)
+          val cursors = presentLocal.flatMap { t =>
+            byTerm.get(t).map { bs =>
+              val (idf, maxScore) = metaLocal(t)
+              new Wand.TermCursor(t, idf, maxScore, bs, avgdl)
             }
           }
+          if (cursors.isEmpty || (conjLocal && cursors.length < presentLocal.length))
+            Iterator.empty
+          else {
+            val dl = (d: Long) => {
+              val rel = d - shardBase
+              dlArrs((rel / pageSizeLocal).toInt)((rel % pageSizeLocal).toInt)
+            }
+            val res =
+              if (conjLocal)
+                Wand.topKConjunctive(cursors, dl, avgdl, kLocal, minScoreLocal)
+              else
+                Wand.topKDisjunctive(cursors, dl, avgdl, kLocal, minScoreLocal)
+            res.iterator
+          }
+        }
       }
       .toDF("doc_id", "score")
 

@@ -373,6 +373,7 @@ object IndexBuilder {
     }
 
     writeSnapshot(dir, Seq("docs", "stats", "dictionary", "postings", "norms"))
+    SegmentIO.invalidateDlCache(dir) // a rebuilt path must not serve stale pages
     stats
   }
 
@@ -505,6 +506,7 @@ object IndexBuilder {
     writeManifest(dir, StageManifest("docs", newN, newN, checksum, perShard))
     writeManifest(dir, StageManifest("stats", newN, 1, totalTokens, Nil))
     writeSnapshot(dir, Seq("docs", "stats", "dictionary", "postings", "norms"))
+    SegmentIO.invalidateDlCache(dir) // norms rewritten in place
 
     deltaIds.unpersist()
     delta.unpersist()

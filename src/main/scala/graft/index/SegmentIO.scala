@@ -260,6 +260,70 @@ object SegmentIO {
     spark.read.parquet(dictPath(dir)).as[DictEntry]
   }
 
+  /** Direct read of ONE shard's norms pages straight from its
+    * `norms/shard=N` partition directory — plain parquet-hadoop reads,
+    * no Spark job, no shuffle. This is the query path's norms access:
+    * each shard's WAND task opens only its own shard dir (the
+    * partitionBy(shard) layout IS the pruning), so a query never
+    * shuffles or scans the corpus-wide norms relation. Runs on
+    * executors; the segment directory must be executor-visible (it is
+    * by construction — the index was written by Spark to shared
+    * storage).
+    */
+  def readShardNorms(dir: String, shard: Int): Array[NormsRow] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(s"${normsPath(dir)}/shard=$shard")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Array.empty
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).flatMap { st =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+        .withConf(conf)
+        .build()
+      try {
+        Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+          NormsRow(shard, g.getInteger("page", 0), g.getInteger("n", 0),
+            g.getLong("first_doc", 0), g.getBinary("dl_bytes", 0).getBytes)
+        }.toArray
+      } finally reader.close()
+    }
+  }
+
+  /** Executor-local decoded dl-page cache, keyed (indexDir, shard):
+    * the serving analog of a Lucene node keeping its shard's norms
+    * resident across queries. Decoded pages cost 4 bytes/doc, so an
+    * executor caching S shards of d docs holds 4·S·d bytes (e.g. 256
+    * shards × 1M docs = 1 GB) — bounded by the crude whole-cache
+    * eviction below, and in a real deployment by shard-to-executor
+    * affinity (each executor only ever serves its shard subset).
+    */
+  private val dlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Int]]]()
+  private val MaxCachedShards = 4096
+
+  /** Drop cached pages for a segment whose norms were rewritten in
+    * place (append/compaction) — called by the builder. Complete in
+    * local[*] mode where executors share the driver JVM (all tests /
+    * bench / driver runs); a multi-JVM cluster deployment serves
+    * immutable snapshot dirs instead of mutating a live segment, so
+    * rewrites there arrive as new paths.
+    */
+  private[graft] def invalidateDlCache(dir: String): Unit =
+    dlCache.keySet.removeIf(_.startsWith(s"$dir#"))
+
+  private[graft] def shardDlPages(dir: String, shard: Int): Array[Array[Int]] = {
+    if (dlCache.size > MaxCachedShards) dlCache.clear()
+    dlCache.computeIfAbsent(s"$dir#$shard", _ => {
+      val pages = readShardNorms(dir, shard)
+      if (pages.isEmpty) Array.empty
+      else {
+        val arrs = new Array[Array[Int]](pages.map(_.page).max + 1)
+        pages.foreach(p => arrs(p.page) = Varbyte.decodeInts(p.dl_bytes, p.n))
+        arrs
+      }
+    })
+  }
+
   def readNorms(spark: SparkSession, dir: String): Dataset[NormsRow] = {
     import spark.implicits._
     spark.read.parquet(normsPath(dir))

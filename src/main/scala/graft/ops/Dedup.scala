@@ -30,11 +30,12 @@ object Dedup {
     * downstream stage ever shuffles shingle strings — only fixed-width
     * longs.
     *
-    * With `distinct=false` the corpus-wide dedup shuffle is skipped;
-    * callers whose downstream math is duplicate-insensitive (MinHash
-    * mins) or that dedup a much smaller filtered subset later should
-    * use it — on the minhash path it removes the single widest
-    * shuffle of the pipeline.
+    * `distinct=false` skips the corpus-wide dedup shuffle but is ONLY
+    * safe for probes / raw occurrence counts (e.g. MinhashProbe):
+    * [[minhashSignatures]] and [[verifyJaccard]] both REQUIRE distinct
+    * (id, sh) input — signatures carry `sz` = the Jaccard SET size and
+    * the verify counts set intersections, and duplicates silently
+    * corrupt both.
     */
   def shingles(df: DataFrame, id: Column, text: Column, n: Int,
       distinct: Boolean = true): DataFrame = {
