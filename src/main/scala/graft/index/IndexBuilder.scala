@@ -80,11 +80,51 @@ object IndexBuilder {
   case class SubRun(shard: Int, term: String, salt: Int,
       docIds: Array[Long], tfs: Array[Int], dls: Array[Int])
 
-  /** Stage 1: stable doc ids. Two-pass rank (per-partition counts →
-    * offsets) via zipWithIndex over the range-partitioned sort — the
-    * one place RDD is forced: `row_number()` over an unbounded window
-    * would single-partition the corpus (SURVEY §7.5). Tokenizes each
-    * turn exactly once and carries the array.
+  /** Stage-1 rank WITHOUT tokenize: global sort on (conv_id,
+    * turn_idx) → (turn, rank) via zipWithIndex — the one place RDD is
+    * forced: `row_number()` over an unbounded window would
+    * single-partition the corpus (SURVEY §7.5). The sort's shuffle
+    * files are reused by every downstream pass over the same RDD
+    * object.
+    */
+  def rankTurns(
+      turns: Dataset[Turn],
+      numPartitions: Int): org.apache.spark.rdd.RDD[(Turn, Long)] = {
+    import turns.sparkSession.implicits._
+    turns
+      .repartitionByRange(numPartitions, $"conv_id", $"turn_idx")
+      .sortWithinPartitions($"conv_id", $"turn_idx")
+      .rdd.zipWithIndex()
+  }
+
+  /** Tokenize ranked turns into the build-side docs rows. With
+    * `group = Some((g, G))` only shards ≡ g (mod G) tokenize — the
+    * shard id is rank/docsPerShard, known BEFORE tokenize, so a
+    * shard-group postings pass over the reused rank shuffle pays one
+    * cheap scan plus 1/G of the tokenize work instead of re-tokenizing
+    * the whole corpus per group.
+    */
+  def tokenizeRanked(
+      spark: SparkSession,
+      ranked: org.apache.spark.rdd.RDD[(Turn, Long)],
+      docsPerShard: Long,
+      baseId: Long,
+      group: Option[(Int, Int)] = None): Dataset[IndexedTurnTk] = {
+    import spark.implicits._
+    val rdd = ranked.flatMap { case (t, i0) =>
+      val i = baseId + i0
+      val shard = (i / docsPerShard).toInt
+      if (group.forall { case (g, gs) => shard % gs == g }) {
+        val tk = Tokenizer.tokenize(t.text)
+        Iterator.single(IndexedTurnTk(i, t.conv_id, t.turn_idx, t.role,
+          t.text, t.tool, t.ts, tk.length, shard, tk))
+      } else Iterator.empty
+    }
+    spark.createDataset(rdd)
+  }
+
+  /** Stage 1: stable doc ids — [[rankTurns]] + [[tokenizeRanked]].
+    * Tokenizes each turn exactly once and carries the array.
     *
     * @param baseId id of the first assigned doc (used by appendBuild
     *               to continue the id space after the existing corpus)
@@ -94,19 +134,8 @@ object IndexBuilder {
       turns: Dataset[Turn],
       numPartitions: Int,
       docsPerShard: Long,
-      baseId: Long = 0L): Dataset[IndexedTurnTk] = {
-    import spark.implicits._
-    val sorted = turns
-      .repartitionByRange(numPartitions, $"conv_id", $"turn_idx")
-      .sortWithinPartitions($"conv_id", $"turn_idx")
-    val rdd = sorted.rdd.zipWithIndex().map { case (t, i0) =>
-      val i = baseId + i0
-      val tk = Tokenizer.tokenize(t.text)
-      IndexedTurnTk(i, t.conv_id, t.turn_idx, t.role, t.text, t.tool, t.ts,
-        tk.length, (i / docsPerShard).toInt, tk)
-    }
-    spark.createDataset(rdd)
-  }
+      baseId: Long = 0L): Dataset[IndexedTurnTk] =
+    tokenizeRanked(spark, rankTurns(turns, numPartitions), docsPerShard, baseId)
 
   /** Raw token occurrences (shard, term, doc_id, dl, tfinc), one row
     * per occurrence, exploded from the token array carried in the docs
@@ -265,6 +294,9 @@ object IndexBuilder {
     // (3-5x the write time). Norms never re-tokenize — they read the
     // stored dl column.
     var idsMem: Option[Dataset[IndexedTurnTk]] = None
+    // fresh-build rank lineage (reused shuffle files): shard-group
+    // postings passes re-map it with a shard filter BEFORE tokenize
+    var rankedMem: Option[org.apache.spark.rdd.RDD[(Turn, Long)]] = None
     if (!stageDone(dir, "docs")) timed("docs") {
       // the input lineage is walked several times (count, range-
       // partitioner sample, sort, rank) — materialize generated
@@ -278,8 +310,10 @@ object IndexBuilder {
         val n = timed("docs.count")(cached.count())
         math.max(1L, (n + cfg.numShards - 1) / cfg.numShards)
       }
+      val ranked = rankTurns(cached, cfg.numPartitions)
       val ids = timed("docs.assign")(
-        assignDocIds(spark, cached, cfg.numPartitions, docsPerShard))
+        tokenizeRanked(spark, ranked, docsPerShard, baseId = 0L))
+      rankedMem = Some(ranked)
       // global manifest aggregates (count, checksum, token sum) ride
       // the write job via Observation; per-shard rows come from the
       // written parquet footers (driver-side metadata, no job)
@@ -330,10 +364,18 @@ object IndexBuilder {
       var allFresh = true
       (0 until groups).foreach { g =>
         if (!stageDone(dir, s"postings_g$g")) timed(s"postings.group$g") {
-          val toksAll = rawTokens(spark, docs)
-          val toks =
-            if (groups == 1) toksAll
-            else toksAll.filter(pmod($"shard", lit(groups)) === g)
+          // group input: fresh build re-maps the reused rank shuffle
+          // with the shard filter BEFORE tokenize (1/G of the tokenize
+          // work per pass); resume reads only the matching shard dirs
+          // (partition pruning on the pmod predicate)
+          val docsG =
+            if (groups == 1) docs
+            else rankedMem match {
+              case Some(ranked) => tokenizeRanked(spark, ranked,
+                stats.docsPerShard, baseId = 0L, group = Some((g, groups)))
+              case None => docs.filter(pmod($"shard", lit(groups)) === g)
+            }
+          val toks = rawTokens(spark, docsG)
           val blocks =
             if (cfg.salts <= 1) encodeDirect(spark, toks, stats, cfg)
             else encodeSalted(spark, toks, stats, cfg)

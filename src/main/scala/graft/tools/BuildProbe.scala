@@ -52,7 +52,8 @@ object BuildProbe {
     s0.stop()
 
     val cfg0 = IndexBuilder.Config(blockSize = 128, numShards = 32,
-      docsPerShard = Some(math.max(1L, (n + 31) / 32)), cacheInput = false)
+      docsPerShard = Some(math.max(1L, (n + 31) / 32)), cacheInput = false,
+      postingsGroups = sys.env.getOrElse("SPARK_GRAFT_PGROUPS", "1").toInt)
     // full-size warm build (JIT + page pools)
     locally {
       val s = session(32)

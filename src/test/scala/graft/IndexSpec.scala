@@ -164,6 +164,13 @@ class IndexSpec extends SparkSpec {
       numPartitions = 8, postingsGroups = 4) // groups == shards: per-shard commits
     IndexBuilder.build(spark, TranscriptGen.corpus(spark, NumConvs), dir, cfg)
     val before = postingsContent(dir)
+    // grouped fresh build (per-group tokenize over the reused rank
+    // shuffle) must produce the same content as an ungrouped build
+    val dirG1 = tempDir("graft-idx-groups-g1")
+    IndexBuilder.build(spark, TranscriptGen.corpus(spark, NumConvs), dirG1,
+      cfg.copy(postingsGroups = 1))
+    assert(postingsContent(dirG1) == before,
+      "postingsGroups must not change index content")
     def shardFiles(s: Int): Seq[Path] =
       Files.list(Path.of(SegmentIO.postingsPath(dir), s"shard=$s"))
         .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
