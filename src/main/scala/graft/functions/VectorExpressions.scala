@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions for the vector kernels (SURVEY §2
+  * similarity family). Both stay inside whole-stage codegen: doGenCode
+  * emits a single static call into [[VectorMath]] per row, vs one
+  * interpreted lambda dispatch per array element for the equivalent
+  * `aggregate`/`zip_with` formulation (measured ~1000× on the
+  * 4-table×6-plane×64-dim LSH projection).
+  */
+
+/** cos(a, b) over two array<float> columns. Null if either side is. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorMath.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** array<long> of per-table LSH buckets for an array<float> vector
+  * (see [[VectorMath.lshBuckets]] for the plane contract).
+  */
+case class LshBuckets(child: Expression, dim: Int, tables: Int, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.lshBuckets(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      dim, tables, planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorMath.lshBuckets($v, $dim, $tables, $planes);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  def cosineSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSim(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def lshBuckets(vec: Column, dim: Int, tables: Int, planes: Int): Column =
+    GraftColumnBridge.column(LshBuckets(
+      GraftColumnBridge.expression(vec), dim, tables, planes))
+}

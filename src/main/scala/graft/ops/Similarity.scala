@@ -24,8 +24,12 @@ object Similarity {
     sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
+  /** Native codegen kernel (same sequential fold as the HOF
+    * formulation above, bit-identical output — see
+    * [[graft.functions.VectorMath.cosine]]).
+    */
   def cosine(va: Column, vb: Column): Column =
-    dot(va, vb) / (norm(va) * norm(vb))
+    graft.functions.VectorExpressions.cosineSim(va, vb)
 
   /** Brute-force cosine top-k against one probe vector (broadcast
     * single-row cross join → score-all → TakeOrderedAndProject).
@@ -65,18 +69,13 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits of
     * plane-projections packed into a long. Vectors in the same bucket
-    * are near-duplicate candidates (verify with [[cosine]]).
+    * are near-duplicate candidates (verify with [[cosine]]). Native
+    * codegen kernel; plane formula = [[planeComponent]] with g = j
+    * (single table).
     */
-  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
-    val bits = (0 until planes).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, d) => x.cast("double") * planeComponent(j, dim)(d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBucket(vec: Column, dim: Int, planes: Int): Column =
+    element_at(
+      graft.functions.VectorExpressions.lshBuckets(vec, dim, tables = 1, planes), 1)
 
   /** ANN via LSH: bucket join → exact cosine verify ≥ tau. The scale
     * path for embedding near-dup (SURVEY prompt: IVF/LSH variant).
@@ -110,8 +109,9 @@ object Similarity {
     *    the same stop-guard idea as `Dedup.ngramJaccardJoin`'s
     *    maxShingleDf.
     *
-    * Pairs colliding in several tables dedup through `distinct`
-    * before the exact-cosine verify.
+    * Pairs colliding in several tables verify redundantly and dedup
+    * after the tau filter (post-filter relation is the smallest point
+    * in the plan to pay the exchange).
     */
   def lshCosinePairsMulti(
       emb: DataFrame,
@@ -122,48 +122,34 @@ object Similarity {
       planesPerTable: Int = 6,
       tau: Double = 0.4,
       maxBucketSize: Int = 10000): DataFrame = {
-    // plane index g = tbl*planesPerTable + j explodes into ROWS, so the
-    // projection expression stays small (a tables*planes-wide
-    // expression tree was measured to cost seconds of driver-side
-    // codegen compilation per query); the bucket reassembles with one
-    // tiny aggregation. plane(g)[d] mirrors planeComponent exactly.
-    val nPlanes = tables * planesPerTable
-    val g = col("g")
-    val planeOfG = (d: Column) =>
-      ((lit(1103515245L) * (g * lit(dim.toLong) + d) + lit(12345L)) % lit(65536L))
-        .cast("double") / lit(65536.0) - lit(0.5)
-    val powers = array((0 until planesPerTable).map(j => lit(1L << j)): _*)
-    val proj = aggregate(
-      zip_with(col("vec"), sequence(lit(0), lit(dim - 1)),
-        (x, d) => x.cast("double") * planeOfG(d)),
-      lit(0.0), (acc, x) => acc + x)
-    // (id, tbl, bucket) is consumed by four plan branches (bucket
-    // sizing, both join sides, pruning); persisting the tiny relation
-    // stops the projections from re-evaluating once per branch
-    val entries = emb
-      .select(id.as("id"), vec.as("vec"),
-        explode(sequence(lit(0), lit(nPlanes - 1))).as("g"))
-      .select(col("id"), (g / lit(planesPerTable)).cast("int").as("tbl"),
-        when(proj > 0,
-          element_at(powers, pmod(g, lit(planesPerTable)).cast("int") + 1))
-          .otherwise(lit(0L)).as("bit"))
-      .groupBy(col("id"), col("tbl"))
-      .agg(sum(col("bit")).cast("long").as("bucket"))
-      .persist()
-    // hot-bucket cap as a windowed count over the (tbl, bucket)
-    // partitions: one exchange instead of an aggregate + semi-join
-    // pair; partitions are bucket-sized, never corpus-sized
-    val pruned = entries
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
-      .select(col("id"), col("tbl"), col("bucket"))
+    // All per-table buckets are computed in ONE narrow per-row pass
+    // (native codegen kernel — a single static call per row) and
+    // posexploded to (id, tbl, bucket): no exchange, no persist, no
+    // row ever leaves its input partition before the bucket join.
+    // plane(g)[d] with g = tbl*planesPerTable + j mirrors
+    // planeComponent exactly.
+    val bucketArr = graft.functions.VectorExpressions
+      .lshBuckets(col("vec"), dim, tables, planesPerTable)
+    val entries = emb.select(id.as("id"), vec.as("vec"))
+      .select(col("id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    // hot-bucket cap: map-side partial groupBy count → the tiny
+    // oversized-bucket list broadcasts into an anti-join, so no row of
+    // a degenerate bucket ever funnels through a single task (the r02
+    // windowed count routed every row of a hot bucket through one
+    // task just to drop it)
+    val hot = entries.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val pruned = entries.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
     val cand = pruned.as("l")
       .join(pruned.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    // pairs colliding in several tables verify redundantly (bounded by
+    // `tables`) and dedup AFTER the tau filter, where the relation is
+    // smallest — cheaper than an exchange over the full candidate set
     val vecs = emb.select(id.as("id"), vec.as("vec"))
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
@@ -171,5 +157,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         cosine(col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= tau)
+      .distinct()
   }
 }
