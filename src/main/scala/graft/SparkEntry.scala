@@ -380,6 +380,55 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
         .orderBy("qid")
     }),
+    // J4 full: five-stage cascade — citations constructed so each
+    // stage is the ONLY one that can resolve its rows: m0 exact PMID,
+    // m1 DOI only, m2 exact title, m3 fuzzy title, m4 author+year
+    // (doc_id%10==4 title-less unique match, %10==9 low-overlap title
+    // that fails the fuzzy stage's inter>=3 floor but passes the
+    // author+year 0.3 overlap)
+    "q_entity_resolution_full" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 60)
+      val m = col("doc_id") % 5
+      val rawToks = Tokenizer.tokensCol(col("text"))
+      val titleExpr =
+        when(m === 2, upper(substring(col("text"), 1, 80)))
+          .when(m === 3, substring(col("text"), 21, 100))
+          .when(col("doc_id") % 10 === 9,
+            concat(concat_ws(" ", slice(rawToks, 1, 2)), lit(" zzaa zzbb zzcc zzdd")))
+          .otherwise(lit(""))
+      val quoted = when(length(titleExpr) > 0,
+        concat(lit(". \""), titleExpr, lit("\""))).otherwise(lit(""))
+      val pmid = when(m === 0, (col("doc_id") + 1000000).cast("string"))
+        .otherwise(lit("8888888"))
+      val doiPart = when(m === 1,
+        concat(lit(", doi:10.1000/d"), col("doc_id").cast("string")))
+        .otherwise(lit(""))
+      val cit = docs.select(col("doc_id").as("qid"),
+        concat(lit("Author"), col("doc_id").cast("string"), lit(" B. PMID: "),
+          pmid, doiPart, quoted, lit(" (2021)")).as("citation"))
+      val parsed = cit
+        .select(col("qid"), EntityResolution.parseCitation(col("citation")).as("p"))
+        .select(col("qid"),
+          col("p.ref_id").as("exact_key"),
+          EntityResolution.normDoi(col("p.doi")).as("doi_key"),
+          EntityResolution.normKey(col("p.title")).as("norm_key"),
+          EntityResolution.normKey(substring(col("p.authors"), 1, 30)).as("author_key"),
+          col("p.year").as("year"),
+          EntityResolution.tokenSet(col("p.title")).as("tk"))
+      val catalog = docs.select(col("doc_id").as("cid"),
+        (col("doc_id") + 1000000).cast("string").as("exact_key"),
+        EntityResolution.normDoi(
+          concat(lit("10.1000/d"), col("doc_id").cast("string"))).as("doi_key"),
+        EntityResolution.normKey(substring(col("text"), 1, 80)).as("norm_key"),
+        EntityResolution.normKey(
+          concat(lit("Author"), col("doc_id").cast("string"), lit(" B"))).as("author_key"),
+        lit("2021").as("year"),
+        EntityResolution.tokenSet(col("text")).as("tk"))
+      EntityResolution.resolveCascadeFull(parsed, catalog)
+        .select(col("qid"), col("cid"), col("method"),
+          round(col("score"), 6).as("score"))
+        .orderBy("qid")
+    }),
     // F4: review-exclusion predicate (keyword markers, prefix window)
     "q_exclusion_filter" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -1058,6 +1107,104 @@ object SparkEntry {
            |  SELECT qid, cid, 'exact_id' AS method, 1.0::DOUBLE AS score FROM s1
            |  UNION ALL SELECT qid, cid, 'norm_key', 1.0::DOUBLE FROM s2
            |  UNION ALL SELECT qid, cid, 'fuzzy_overlap', overlap FROM s3)
+           |SELECT qid, cid, method, round(score, 6) AS score FROM res
+           |ORDER BY qid""".stripMargin
+      },
+      "q_entity_resolution_full" -> {
+        val tkOf = (e: String) =>
+          s"""list_distinct(list_filter(
+             |  regexp_split_to_array(lower($e), '[^a-z0-9]+'),
+             |  x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}))""".stripMargin
+        val rawTkOf = (e: String) =>
+          s"""list_filter(
+             |  regexp_split_to_array(lower($e), '[^a-z0-9]+'),
+             |  x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql})""".stripMargin
+        val normOf = (e: String) =>
+          s"trim(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'))"
+        s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 60),
+           |cit AS (
+           |  SELECT doc_id AS qid,
+           |    'Author' || doc_id::VARCHAR || ' B. PMID: ' ||
+           |    CASE WHEN doc_id % 5 = 0 THEN (doc_id + 1000000)::VARCHAR
+           |         ELSE '8888888' END ||
+           |    CASE WHEN doc_id % 5 = 1
+           |         THEN ', doi:10.1000/d' || doc_id::VARCHAR ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 2
+           |           THEN '. "' || upper(substr(text, 1, 80)) || '"'
+           |         WHEN doc_id % 5 = 3
+           |           THEN '. "' || substr(text, 21, 100) || '"'
+           |         WHEN doc_id % 10 = 9
+           |           THEN '. "' || array_to_string((${rawTkOf("text")})[1:2], ' ') ||
+           |                ' zzaa zzbb zzcc zzdd"'
+           |         ELSE '' END ||
+           |    ' (2021)' AS citation
+           |  FROM docs),
+           |parsed AS (
+           |  SELECT qid,
+           |    regexp_extract(citation, '\\b(\\d{6,10})\\b', 1) AS exact_key,
+           |    lower(trim(regexp_extract(citation, '\\b(10\\.\\d{3,6}/[^\\s,;]+)', 1))) AS doi_key,
+           |    ${normOf("""regexp_extract(citation, '"([^"]+)"', 1)""")} AS norm_key,
+           |    ${normOf("""substr(regexp_extract(citation, '^([^.]+)\.', 1), 1, 30)""")} AS author_key,
+           |    regexp_extract(citation, '\\(((?:19|20)\\d{2})\\)', 1) AS year,
+           |    ${tkOf("""regexp_extract(citation, '"([^"]+)"', 1)""")} AS tk
+           |  FROM cit),
+           |cat AS (
+           |  SELECT doc_id AS cid, (doc_id + 1000000)::VARCHAR AS exact_key,
+           |    lower(trim('10.1000/d' || doc_id::VARCHAR)) AS doi_key,
+           |    ${normOf("substr(text, 1, 80)")} AS norm_key,
+           |    ${normOf("'Author' || doc_id::VARCHAR || ' B'")} AS author_key,
+           |    '2021' AS year,
+           |    ${tkOf("text")} AS tk
+           |  FROM docs),
+           |s1 AS (
+           |  SELECT qid, min(cid) AS cid FROM parsed q JOIN cat c USING (exact_key)
+           |  WHERE length(exact_key) > 0 GROUP BY qid),
+           |r1 AS (SELECT * FROM parsed WHERE qid NOT IN (SELECT qid FROM s1)),
+           |s2 AS (
+           |  SELECT qid, min(cid) AS cid FROM r1 q JOIN cat c USING (doi_key)
+           |  WHERE length(doi_key) > 0 GROUP BY qid),
+           |r2 AS (SELECT * FROM r1 WHERE qid NOT IN (SELECT qid FROM s2)),
+           |s3 AS (
+           |  SELECT qid, min(cid) AS cid FROM r2 q JOIN cat c USING (norm_key)
+           |  WHERE length(norm_key) > 0 GROUP BY qid),
+           |r3 AS (SELECT * FROM r2 WHERE qid NOT IN (SELECT qid FROM s3)),
+           |qtok AS (SELECT qid, len(tk) AS qsz, unnest(tk) AS tok FROM r3),
+           |ctok AS (SELECT cid, unnest(tk) AS tok FROM cat),
+           |ov4 AS (
+           |  SELECT qid, qsz, cid, count(*) AS inter,
+           |         count(*)::DOUBLE / qsz AS overlap
+           |  FROM qtok JOIN ctok USING (tok) GROUP BY qid, qsz, cid),
+           |s4 AS (
+           |  SELECT qid, cid, overlap FROM (
+           |    SELECT qid, cid, overlap,
+           |           row_number() OVER (PARTITION BY qid
+           |                              ORDER BY overlap DESC, cid) AS rn
+           |    FROM ov4 WHERE inter >= 3 AND overlap >= 0.4) WHERE rn = 1),
+           |r4 AS (SELECT * FROM r3 WHERE qid NOT IN (SELECT qid FROM s4)),
+           |ay AS (
+           |  SELECT q.qid, c.cid,
+           |         CASE WHEN len(q.tk) > 0
+           |              THEN len(list_intersect(q.tk, c.tk))::DOUBLE / len(q.tk)
+           |              ELSE 0.0 END AS ov,
+           |         len(q.tk) AS qsz,
+           |         count(*) OVER (PARTITION BY q.qid) AS ncand
+           |  FROM r4 q JOIN cat c
+           |    ON q.author_key = c.author_key AND q.year = c.year
+           |  WHERE length(q.author_key) > 0 AND length(q.year) > 0
+           |    AND length(c.author_key) > 0),
+           |s5 AS (
+           |  SELECT qid, cid, ov FROM (
+           |    SELECT qid, cid, ov,
+           |           row_number() OVER (PARTITION BY qid
+           |                              ORDER BY ov DESC, cid) AS rn
+           |    FROM ay WHERE (qsz > 0 AND ov >= 0.3) OR (qsz = 0 AND ncand = 1))
+           |  WHERE rn = 1),
+           |res AS (
+           |  SELECT qid, cid, 'exact_id' AS method, 1.0::DOUBLE AS score FROM s1
+           |  UNION ALL SELECT qid, cid, 'doi', 1.0::DOUBLE FROM s2
+           |  UNION ALL SELECT qid, cid, 'norm_key', 1.0::DOUBLE FROM s3
+           |  UNION ALL SELECT qid, cid, 'fuzzy_overlap', overlap FROM s4
+           |  UNION ALL SELECT qid, cid, 'author_year', ov FROM s5)
            |SELECT qid, cid, method, round(score, 6) AS score FROM res
            |ORDER BY qid""".stripMargin
       },
