@@ -426,10 +426,14 @@ object IndexBuilder {
     *
     *  - delta = anti-join of the incoming turns against the indexed
     *    doc keys; no-op if empty.
-    *  - precondition: every delta key sorts AFTER the existing max
-    *    (conv_id, turn_idx) — doc_id = global sort rank, so an
-    *    out-of-order key would renumber existing docs; the caller must
-    *    full-rebuild in that case (enforced with a clear error).
+    *  - fast path requires every delta key to sort AFTER the existing
+    *    max (conv_id, turn_idx) — doc_id = global sort rank, so an
+    *    out-of-order key would renumber existing docs. Out-of-order
+    *    deltas auto-fall back to [[compactWith]] (full rebuild +
+    *    dir swap), so any delta ends queryable with no manual step.
+    *  - crash safety: an in-progress marker brackets the mutation
+    *    window; a torn append is detected on the next entry and
+    *    rolled back by [[recoverTornAppend]] before proceeding.
     *  - delta doc ids continue the id space (baseId = old numDocs);
     *    docsPerShard is pinned from the existing stats, so shard
     *    assignment is stable and only shards >= the boundary shard
@@ -455,6 +459,19 @@ object IndexBuilder {
     import org.apache.spark.storage.StorageLevel
 
     val stats0 = readStats(dir)
+    // torn-append detection + recovery: a crash between the first
+    // mutation and the snapshot commit leaves the marker in place;
+    // silently proceeding would make the anti-join treat uncommitted
+    // docs as indexed and a later append re-issue their doc ids
+    if (appendInProgress(dir)) recoverTornAppend(spark, dir, stats0)
+    // belt-and-braces: committed stats are the doc-id authority
+    // (footer-metadata counts — no Spark job)
+    val docsOnDisk = SegmentIO.shardRowCounts(docsPath(dir)).map(_._2).sum
+    require(docsOnDisk == stats0.numDocs,
+      s"appendBuild: docs table at $dir has $docsOnDisk rows but stats " +
+        s"commit says ${stats0.numDocs} — index is torn beyond the " +
+        "marker protocol (manual intervention or full rebuild required)")
+
     val oldKeys = readDocs(spark, dir).select($"conv_id", $"turn_idx")
     val delta = newTurns
       .join(oldKeys, Seq("conv_id", "turn_idx"), "left_anti")
@@ -463,7 +480,14 @@ object IndexBuilder {
     val nd = delta.count()
     if (nd == 0) { delta.unpersist(); return stats0 }
 
-    // precondition: append-only key space
+    // append-only key space check: doc_id = global sort rank, so an
+    // out-of-order key would renumber existing docs. Instead of
+    // failing (the reference's most common growth pattern — "found 5
+    // more papers, add them", `src/pubmed_downloader.py:465-484` —
+    // arrives in arbitrary key order), fall back to a FULL COMPACTION:
+    // rebuild over union(existing, delta) into a sibling dir with the
+    // same fixed docsPerShard, then swap. Content-identical to a
+    // from-scratch build (IndexSpec guards it).
     val maxOld = oldKeys.agg(max(struct($"conv_id", $"turn_idx"))).collect()(0)
       .getStruct(0)
     val minNew = delta.agg(min(struct($"conv_id", $"turn_idx"))).collect()(0)
@@ -472,15 +496,19 @@ object IndexBuilder {
       minNew.getString(0) > maxOld.getString(0) ||
       (minNew.getString(0) == maxOld.getString(0) &&
         minNew.getInt(1) > maxOld.getInt(1))
-    require(ok,
-      s"appendBuild: new keys must sort after the indexed corpus " +
-        s"(min new = ${minNew}, max indexed = ${maxOld}); " +
-        "out-of-order keys would renumber existing doc ids — full rebuild required")
+    if (!ok) {
+      val st = compactWith(spark, delta, dir, stats0, numPartitions)
+      delta.unpersist()
+      return st
+    }
 
     val dps = stats0.docsPerShard
     val oldN = stats0.numDocs
     val deltaIds = assignDocIds(spark, delta, numPartitions, dps, baseId = oldN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // first mutation starts here — mark the append in progress so a
+    // crash before the snapshot commit is detected on the next entry
+    SegmentIO.writeAppendMarker(dir)
     timed("append.docs")(deltaIds.toDF().drop("tk")
       .write.mode("append").partitionBy("shard").parquet(docsPath(dir)))
 
@@ -548,11 +576,140 @@ object IndexBuilder {
     writeManifest(dir, StageManifest("docs", newN, newN, checksum, perShard))
     writeManifest(dir, StageManifest("stats", newN, 1, totalTokens, Nil))
     writeSnapshot(dir, Seq("docs", "stats", "dictionary", "postings", "norms"))
+    SegmentIO.clearAppendMarker(dir) // snapshot committed — append done
     SegmentIO.invalidateDlCache(dir) // norms rewritten in place
 
     deltaIds.unpersist()
     delta.unpersist()
     stats1
+  }
+
+  /** Torn-append recovery: restore the last committed state (stats0 is
+    * the authority — stats.json is written LAST in the append
+    * protocol, so its numDocs never includes uncommitted docs).
+    *
+    * Only shard dirs >= boundary = numDocs/docsPerShard can contain
+    * torn rows (delta doc ids continue the id space upward):
+    *  - shards strictly above the boundary are entirely uncommitted →
+    *    delete their docs/postings/norms dirs
+    *  - a PARTIALLY filled boundary shard keeps its committed prefix:
+    *    docs rows with doc_id < numDocs are rewritten in place, and
+    *    boundary postings re-encode from their own decode inner-joined
+    *    against the restored docs (the same decode+join used by the
+    *    normal boundary append — torn doc ids simply drop out)
+    *  - dictionary / norms / manifests recompute from the restored
+    *    tables
+    *
+    * Idempotent against the completed-but-unmarked window (crash after
+    * stats commit, before marker clear): numDocs then already includes
+    * the appended docs, every prune is a no-op, and derived state is
+    * recomputed to identical content.
+    *
+    * Caveat (documented, not handled): a crash INSIDE a boundary-shard
+    * parquet commit can leave a mixed file set that loses committed
+    * boundary postings; the dynamic-partition-overwrite commit window
+    * is milliseconds vs the minutes-long encode, and an object-store
+    * deployment would stage + pointer-swap instead.
+    */
+  private def recoverTornAppend(
+      spark: SparkSession,
+      dir: String,
+      stats0: IndexStats): Unit = {
+    import spark.implicits._
+    val dps = stats0.docsPerShard
+    val oldN = stats0.numDocs
+    val boundary = (oldN / dps).toInt
+    val boundaryPartial = oldN % dps != 0
+    def rmShard(base: String, s: Int): Unit =
+      deleteRecursively(java.nio.file.Paths.get(base, s"shard=$s"))
+    def shardIds(base: String): Seq[Int] =
+      SegmentIO.shardRowCounts(base).map(_._1.toInt)
+    // drop entirely-uncommitted shard dirs
+    val minDrop = if (boundaryPartial) boundary + 1 else boundary
+    Seq(docsPath(dir), postingsPath(dir), normsPath(dir)).foreach { base =>
+      shardIds(base).filter(_ >= minDrop).foreach(rmShard(base, _))
+    }
+    if (boundaryPartial) {
+      // restore the boundary docs dir to its committed prefix
+      val keep = readDocs(spark, dir)
+        .filter($"shard" === boundary && $"doc_id" < oldN)
+        .toDF().drop("shard")
+        .orderBy("doc_id")
+        .persist()
+      val kn = keep.count()
+      if (kn > 0) {
+        keep.coalesce(1).write.mode("overwrite")
+          .parquet(s"${docsPath(dir)}/shard=$boundary")
+        // re-encode boundary postings from decode ⋈ restored docs
+        val dlB = keep.select($"doc_id", $"dl")
+        val decoded = readPostings(spark, dir)
+          .filter($"shard" === boundary)
+          .flatMap { b =>
+            val ids = Varbyte.decodeDeltas(b.doc_bytes, b.n)
+            val tfs = Varbyte.decodeInts(b.tf_bytes, b.n)
+            ids.indices.iterator.map(i => (b.term, ids(i), tfs(i)))
+          }
+          .toDF("term", "doc_id", "tf")
+        val input = decoded.join(dlB, "doc_id")
+          .select($"doc_id", $"dl", lit(boundary).as("shard"), $"term",
+            $"tf".as("tfinc"))
+        val cfgR = Config(blockSize = stats0.blockSize,
+          numPartitions = math.max(1, spark.sparkContext.defaultParallelism),
+          normsPageSize = stats0.normsPageSize)
+        writePostings(dir, encodeDirect(spark, input, stats0, cfgR))
+        writeNorms(spark, dir,
+          keep.select(lit(boundary).as("shard"), $"doc_id", $"dl")
+            .as[(Int, Long, Int)],
+          dps, stats0.normsPageSize, None)
+      } else rmShard(docsPath(dir), boundary)
+      keep.unpersist()
+    }
+    // derived state + manifests back to the committed corpus
+    writeDictionary(spark, dir, oldN)
+    writePostingsManifest(spark, dir, oldN, observedChecksum = None)
+    writeNormsManifest(spark, dir, oldN)
+    SegmentIO.clearAppendMarker(dir)
+    SegmentIO.invalidateDlCache(dir)
+  }
+
+  /** Out-of-order upsert path: full rebuild over union(existing docs,
+    * delta) into `dir + ".compacting"` with the existing shard sizing,
+    * then swap directories. The swap is two local renames (an
+    * object-store deployment would swap a catalog pointer); a crash
+    * between them leaves the complete new index at `dir + ".compacting"`.
+    */
+  private def compactWith(
+      spark: SparkSession,
+      delta: Dataset[Turn],
+      dir: String,
+      stats0: IndexStats,
+      numPartitions: Int): IndexStats = {
+    import spark.implicits._
+    val existing = readDocs(spark, dir)
+      .select($"conv_id", $"turn_idx", $"role", $"text", $"tool", $"ts")
+      .as[Turn]
+    val tmp = dir + ".compacting"
+    deleteRecursively(java.nio.file.Paths.get(tmp))
+    val st = build(spark, existing.unionByName(delta), tmp,
+      Config(blockSize = stats0.blockSize, numPartitions = numPartitions,
+        normsPageSize = stats0.normsPageSize,
+        docsPerShard = Some(stats0.docsPerShard)))
+    val old = dir + ".old"
+    deleteRecursively(java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(old))
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+      java.nio.file.Paths.get(dir))
+    deleteRecursively(java.nio.file.Paths.get(old))
+    SegmentIO.invalidateDlCache(dir)
+    st
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
   }
 
   /** Block-encode one (shard, term) posting group given per-doc

@@ -182,6 +182,23 @@ object SegmentIO {
   def stageDone(dir: String, stage: String): Boolean =
     Files.exists(manifestPath(dir, stage))
 
+  /** Append-in-progress marker: written before an appendBuild's first
+    * mutation, cleared after its snapshot commit. Presence on entry
+    * means a torn append — the retry prunes the uncommitted rows
+    * instead of silently absorbing them (doc ids must stay dense and
+    * consistent with stats.numDocs).
+    */
+  def appendMarkerPath(dir: String): Path =
+    manifestDir(dir).resolve("_append_inprogress")
+  def writeAppendMarker(dir: String): Unit = {
+    Files.createDirectories(manifestDir(dir))
+    Files.write(appendMarkerPath(dir), "1".getBytes(StandardCharsets.UTF_8))
+  }
+  def clearAppendMarker(dir: String): Unit =
+    Files.deleteIfExists(appendMarkerPath(dir))
+  def appendInProgress(dir: String): Boolean =
+    Files.exists(appendMarkerPath(dir))
+
   /** Per-shard row counts straight from parquet footers (driver-side
     * metadata reads, ~1 ms per file — no Spark job). Works on any
     * partitionBy(shard) table dir.

@@ -127,12 +127,54 @@ class IndexSpec extends SparkSpec {
     // re-delivering already-indexed turns is a no-op (anti-join)
     assert(IndexBuilder.appendBuild(spark, b.as[graft.model.Turn], incrDir,
       numPartitions = 8) == st)
-    // out-of-order keys are rejected (they would renumber doc ids)
+    // out-of-order keys auto-compact: result identical to a
+    // from-scratch build over the union, no manual intervention
     val early = Seq(graft.model.Turn("a0000", 0, "user", "hello brand new text",
       "", java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))).toDS()
-    intercept[IllegalArgumentException] {
-      IndexBuilder.appendBuild(spark, early, incrDir, numPartitions = 8)
-    }
+    val stC = IndexBuilder.appendBuild(spark, early, incrDir, numPartitions = 8)
+    val fullDir2 = tempDir("graft-idx-full-ooo")
+    IndexBuilder.build(spark, all.unionByName(early).as[graft.model.Turn],
+      fullDir2, cfgFixed)
+    assert(stC == SegmentIO.readStats(fullDir2),
+      "compaction stats must match a from-scratch build")
+    assert(postingsContent(incrDir) == postingsContent(fullDir2),
+      "out-of-order compaction must equal a from-scratch build")
+    assert(docsOf(incrDir) == docsOf(fullDir2))
+  }
+
+  test("torn append is detected and rolled back (marker recovery)") {
+    import spark.implicits._
+    val all = TranscriptGen.corpus(spark, NumConvs)
+    val a = all.filter($"conv_id" < "c00000080")
+    val b = all.filter($"conv_id" >= "c00000080")
+    val cfgFixed = IndexBuilder.Config(blockSize = 8, numPartitions = 8,
+      docsPerShard = Some(300), normsPageSize = 64)
+    val fullDir = tempDir("graft-idx-torn-full")
+    IndexBuilder.build(spark, all, fullDir, cfgFixed)
+    val dir = tempDir("graft-idx-torn")
+    IndexBuilder.build(spark, a.as[graft.model.Turn], dir, cfgFixed)
+    val st0 = SegmentIO.readStats(dir)
+    // simulate the crash window: delta docs hit the docs table (the
+    // first mutation) but nothing else commits — marker left in place
+    val dps = st0.docsPerShard
+    val deltaIds = IndexBuilder.assignDocIds(spark, b.as[graft.model.Turn],
+      numPartitions = 8, docsPerShard = dps, baseId = st0.numDocs)
+    SegmentIO.writeAppendMarker(dir)
+    deltaIds.toDF().drop("tk")
+      .write.mode("append").partitionBy("shard")
+      .parquet(SegmentIO.docsPath(dir))
+    // without recovery this retry would silently no-op (anti-join sees
+    // the torn keys as indexed); with the marker it rolls back first
+    // and the append then lands normally
+    val st = IndexBuilder.appendBuild(spark, b.as[graft.model.Turn], dir,
+      numPartitions = 8)
+    assert(st == SegmentIO.readStats(fullDir))
+    assert(postingsContent(dir) == postingsContent(fullDir),
+      "post-recovery append must equal a full rebuild")
+    def docsOf2(d: String) = SegmentIO.readDocs(spark, d).collect()
+      .map(r => (r.doc_id, r.conv_id, r.turn_idx, r.dl, r.shard)).toSet
+    assert(docsOf2(dir) == docsOf2(fullDir))
+    assert(!SegmentIO.appendInProgress(dir))
   }
 
   test("append at an exact shard boundary (no partial shard to re-encode)") {

@@ -82,6 +82,44 @@ class StreamingSpec extends SparkSpec {
     assert(li.retrieve("needle5alpha needle5beta", 5).nonEmpty)
   }
 
+  test("out-of-order delivery auto-compacts: queryable and rank-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val staging = tempDir("graft-staging-ooo")
+    val all = TranscriptGen.localCorpus(60)
+    // LATER convs arrive first, then the earlier ones — the fast
+    // append precondition fails and appendBuild must fall back to a
+    // full compaction on its own
+    val (early, late) = all.partition(_.conv_id < "c00000040")
+    val cfg = IndexBuilder.Config(blockSize = 16, numPartitions = 4,
+      docsPerShard = Some(250), normsPageSize = 64)
+
+    val input = MemoryStream[Turn]
+    input.addData(late)
+    StreamingIngest.stageTurns(input.toDS(), staging).start().awaitTermination(60000)
+    val dir = tempDir("graft-ooo-idx")
+    IndexBuilder.build(spark, StreamingIngest.stagedCorpus(spark, staging), dir, cfg)
+
+    input.addData(early)
+    StreamingIngest.stageTurns(input.toDS(), staging).start().awaitTermination(60000)
+    IndexBuilder.appendBuild(spark,
+      StreamingIngest.stagedCorpus(spark, staging), dir, numPartitions = 4)
+
+    val fullDir = tempDir("graft-ooo-full")
+    IndexBuilder.build(spark, TranscriptGen.corpus(spark, 60), fullDir, cfg)
+    def content(d: String) = graft.index.SegmentIO.readPostings(spark, d)
+      .collect().map(bk => (bk.shard, bk.term, bk.block_id, bk.doc_bytes.toSeq,
+        bk.tf_bytes.toSeq, bk.block_max_tf, bk.block_min_dl, bk.sum_tf)).toSet
+    assert(content(dir) == content(fullDir),
+      "out-of-order compaction must equal a from-scratch build")
+    // rank identity on the compacted index
+    val li = new LocalIndex(spark, dir)
+    val oracle = graft.query.LocalOracle.buildCorpus(all)
+    val expected = graft.query.LocalOracle.topK(oracle, "needle5alpha needle5beta", 5)
+      .map { case (d, s) => (d.docId, s) }
+    assert(li.retrieve("needle5alpha needle5beta", 5).toSeq == expected)
+  }
+
   test("keyed upsert: a re-delivered CHANGED turn replaces, never duplicates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
