@@ -96,12 +96,14 @@ object Dedup {
   /** Exact Jaccard for given candidate pairs via shared-shingle
     * counts: |A∩B| / (|A| + |B| - |A∩B|).
     *
-    * The shingle relation is semi-joined down to candidate doc ids
-    * BEFORE the self-join: without it, one boilerplate shingle with
-    * df=d fans out d² join rows corpus-wide before the candidate-pair
-    * filter can prune (the round-1 scale-killer — at df=10⁶ that is
-    * 10¹² rows). Results are bit-identical: intersections only ever
-    * involve candidate docs' shingles.
+    * PAIR-LOCAL intersection: the left doc's shingles explode once per
+    * distinct candidate pair, and a semi-join on (right id, shingle)
+    * keeps the shared ones. Work is Σ_pairs |A| — a boilerplate
+    * shingle shared by m candidate docs contributes one row per pair
+    * that contains it, never an m² cross-candidate fan-out (the r02
+    * candidate-population self-join exploded quadratically on such
+    * shingles before its pair filter could prune). Exact — no
+    * stop-shingle approximation needed.
     */
   def verifyJaccard(sh: DataFrame, pairs: DataFrame): DataFrame =
     verifyJaccard(sh, pairs, sh.groupBy(col("id")).agg(count(lit(1)).as("sz")))
@@ -109,18 +111,15 @@ object Dedup {
   /** As above with pre-computed per-doc shingle-set sizes (id, sz) —
     * callers that already aggregated over `sh` (minhash signatures)
     * pass them in to avoid a second pass. `sh` must be distinct
-    * (id, sh) rows.
+    * (id, sh) rows. Candidate pairs may repeat (LSH multi-band
+    * collisions): they dedup here, before the explode.
     */
   def verifyJaccard(sh: DataFrame, pairs: DataFrame, sizes: DataFrame): DataFrame = {
-    // no distinct on the candidate-id side: left_semi ignores
-    // duplicates and the dedup would cost one more exchange wave
-    val candIds = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
-    val shc = sh.join(candIds, Seq("id"), "left_semi")
-    val inter = shc.as("a")
-      .join(shc.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .join(pairs, col("a.id") === pairs("id_a") && col("b.id") === pairs("id_b"), "left_semi")
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val p = pairs.select(col("id_a"), col("id_b")).distinct()
+    val aSh = p.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+    val inter = aSh
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -147,8 +146,8 @@ object Dedup {
       tau: Double = 0.6): DataFrame = {
     val sh = shingles(df, id, text, shingleSize)
     val sig = minhashSignatures(sh, numHashes)
-    // pair-dedup is free in the verify stage's semi-join; sizes ride
-    // along from the signature agg
+    // pair-dedup happens inside the verify stage (before its explode);
+    // sizes ride along from the signature agg
     val cand = lshCandidates(sig, numHashes, bands, dedupPairs = false)
     verifyJaccard(sh, cand, sig.select(col("id"), col("sz")))
       .filter(col("jaccard") >= tau)
