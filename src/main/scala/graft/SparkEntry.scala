@@ -569,6 +569,30 @@ object SparkEntry {
           lit(" | ER  -")).as("record"))
         .orderBy("doc_id")
     }),
+    // S12 repeated tags: one AU line per author-analog (reference
+    // src/search_engine.py:535 authors.split('; ') → per-author
+    // `AU  -` lines). explode(split(...)) fans the multi-valued field
+    // into rows; the per-doc record re-aggregates in record order via
+    // array_sort over (pos, value) structs — deterministic across the
+    // shuffle boundary, the at-scale shape of repeated-tag export.
+    "q_ris_export_multi" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 20)
+      val multi = concat_ws("; ", col("source"), col("lang"),
+        concat(lit("grp"), (col("doc_id") % 3).cast("string")))
+      val au = docs
+        .select(col("doc_id"), posexplode(split(multi, "; ")).as(Seq("pos", "au")))
+        .groupBy("doc_id")
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("au")))),
+            x => concat(lit("AU  - "), x.getField("au")))).as("au_block"))
+      docs.join(au, "doc_id")
+        .select(col("doc_id"),
+          concat(lit("TY  - DOC\nID  - "), col("doc_id"),
+            lit("\n"), col("au_block"),
+            lit("\nN1  - "), substring(col("text"), 1, 40),
+            lit("\nER  - ")).as("record"))
+        .orderBy("doc_id")
+    }),
     // S13: found/not-found comparison cross-tab against an included set
     "q_comparison_export" -> ((s, dir) => {
       import s.implicits._
@@ -994,6 +1018,17 @@ object SparkEntry {
           |  'TY  - DOC | ID  - ' || doc_id || ' | LA  - ' || lang ||
           |  ' | SRC - ' || source || ' | N1  - ' || substr(text, 1, 40) ||
           |  ' | ER  -' AS record
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
+      // the oracle computes the expected multi-line record directly
+      // (the Spark side is what exercises the explode/re-agg shape)
+      "q_ris_export_multi" ->
+        """SELECT doc_id,
+          |  'TY  - DOC' || chr(10) || 'ID  - ' || doc_id || chr(10) ||
+          |  'AU  - ' || source || chr(10) ||
+          |  'AU  - ' || lang || chr(10) ||
+          |  'AU  - grp' || (doc_id % 3)::VARCHAR || chr(10) ||
+          |  'N1  - ' || substr(text, 1, 40) || chr(10) ||
+          |  'ER  - ' AS record
           |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
       "q_comparison_export" ->
         s"""${bm25Ctes(Seq("stream", "vector", "window"))},
