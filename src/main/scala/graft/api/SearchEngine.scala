@@ -6,7 +6,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.{SegmentIO, Varbyte}
-import graft.index.SegmentIO.PostingBlock
 import graft.model._
 import graft.query.{Bm25, Wand}
 import graft.tokenize.Tokenizer
@@ -36,6 +35,34 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
 
   lazy val stats: SegmentIO.IndexStats = SegmentIO.readStats(indexDir)
 
+  /** Driver-resident dictionary cache, term → Some((idf, maxScore)) /
+    * None for a confirmed zero-df term — the analog of the reference's
+    * resident in-RAM index (`src/search_engine.py:48-70`). Only terms
+    * actually queried are cached (bounded: whole-cache eviction like
+    * SegmentIO's dl cache), so repeat queries skip the dictionary job
+    * entirely. idf is derived from the engine-lifetime `stats`
+    * snapshot, so cached entries can never drift from it.
+    */
+  private val dictCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Double, Double)]]
+  private val MaxCachedTerms = 262144
+
+  private def termMetaFor(terms: Array[String]): Map[String, (Double, Double)] = {
+    val missing = terms.filterNot(dictCache.containsKey)
+    if (missing.nonEmpty) {
+      if (dictCache.size > MaxCachedTerms) dictCache.clear()
+      // term-IN predicate pushes into the (term-sorted) parquet scan
+      val found = SegmentIO.readDict(spark, indexDir)
+        .filter($"term".isin(missing.toSeq: _*)).collect()
+        .map { d =>
+          val idf = Bm25.idf(stats.numDocs, d.df)
+          d.term -> (idf, Bm25.boundScore(idf, d.max_tf, d.min_dl, stats.avgdl))
+        }.toMap
+      missing.foreach(t => dictCache.put(t, found.get(t)))
+    }
+    terms.flatMap(t => dictCache.get(t).map(t -> _)).toMap
+  }
+
   /** Retrieval core: BM25 top-k as (doc_id, score) — exact scores,
     * no rounding (rounding is an output-boundary contract only).
     */
@@ -48,20 +75,10 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     val empty = spark.emptyDataset[(Long, Double)].toDF("doc_id", "score")
     if (qTerms.isEmpty) return empty
 
-    // dictionary lookup — term-IN predicate pushes into the parquet scan
-    val dictRows = SegmentIO.readDict(spark, indexDir)
-      .filter($"term".isin(qTerms.toSeq: _*)).collect()
-    val n = stats.numDocs
-    val termMeta: Map[String, (Double, Double)] = dictRows.map { d =>
-      val idf = Bm25.idf(n, d.df)
-      d.term -> (idf, Bm25.boundScore(idf, d.max_tf, d.min_dl, stats.avgdl))
-    }.toMap
+    val termMeta = termMetaFor(qTerms)
     val present = qTerms.filter(termMeta.contains)
     if (present.isEmpty) return empty
     if (conjunctive && present.length < qTerms.length) return empty // AND with a zero-df term
-
-    val postings = SegmentIO.readPostings(spark, indexDir)
-      .filter($"term".isin(present.toSeq: _*))
 
     // locals only — the task closure must not capture `this`
     val avgdl = stats.avgdl
@@ -74,24 +91,28 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     val dpsLocal = stats.docsPerShard
     val dirLocal = indexDir
 
-    // Only the term-pruned postings shuffle; each shard's task reads
-    // its OWN norms/shard=N partition dir directly (no job, no
-    // shuffle) and caches the decoded pages executor-locally across
-    // queries — at 10⁹ docs the old per-query norms cogroup
-    // re-shuffled ~GBs of dl bytes per query, the distributed path's
-    // scale-killer.
-    val hits = postings
-      .groupByKey(_.shard)
-      .flatMapGroups { (shard: Int, blocks: Iterator[PostingBlock]) =>
+    // Shard fan-out with NO scan stage and NO shuffle: one task per
+    // shard, each opening only its own postings/shard=N (parquet page
+    // skip on the query terms) and norms/shard=N dirs — the Lucene
+    // shard-replica serving model. The whole query is a single
+    // one-stage job: per-shard WAND top-k heaps merge on the driver
+    // via TakeOrderedAndProject. The former formulation (corpus-wide
+    // term-pruned scan + groupByKey(shard)) paid a scan stage + a
+    // shuffle wave per query; at 10⁹ docs the scan's file-listing and
+    // task scheduling alone dominate the actual per-term page reads.
+    val hitsRdd = spark.sparkContext
+      .parallelize(0 until stats.numShards, stats.numShards)
+      .flatMap { shard =>
+        val blocks = SegmentIO.readShardPostings(dirLocal, shard, presentLocal)
         // two-level dl lookup: page = (doc - shardBase) / pageSize,
         // then in-page offset — no array or row ever scales with
         // shard size, and no Long difference is narrowed to Int
         // before the page division
         val dlArrs = SegmentIO.shardDlPages(dirLocal, shard)
-        if (dlArrs.isEmpty) Iterator.empty
+        if (blocks.isEmpty || dlArrs.isEmpty) Iterator.empty
         else {
           val shardBase = shard.toLong * dpsLocal
-          val byTerm = blocks.toArray.groupBy(_.term)
+          val byTerm = blocks.groupBy(_.term)
           val cursors = presentLocal.flatMap { t =>
             byTerm.get(t).map { bs =>
               val (idf, maxScore) = metaLocal(t)
@@ -114,10 +135,10 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
           }
         }
       }
-      .toDF("doc_id", "score")
 
     // distributed top-k merge: per-shard heaps → TakeOrderedAndProject
-    hits.orderBy(desc("score"), asc("doc_id")).limit(kLocal)
+    hitsRdd.toDF("doc_id", "score")
+      .orderBy(desc("score"), asc("doc_id")).limit(kLocal)
   }
 
   /** Round half-up to 4 dp — the output contract of the reference
@@ -141,11 +162,29 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
       if (hasResidual || spec.rerank) k * OverFetchFactor else k, MaxTopK)
     val effMinScore = if (spec.rerank) 0.0 else minScore
 
-    val hits = retrieve(spec.text, kPrime, effMinScore, spec.conjunctive)
+    // candidate set is bounded (kPrime ≤ MaxTopK), so land it on the
+    // driver first: the metadata join then PUSHES shard + doc_id-range
+    // predicates into the doc-store scan instead of scanning the whole
+    // docs table per query (a broadcast hash join alone prunes
+    // nothing — at 10⁹ docs that full scan is the search path's last
+    // per-query corpus-sized read). Shard dirs prune at the partition
+    // level, the doc_id range at the row-group/page level (docs files
+    // are doc_id-sorted), and the local-relation broadcast join
+    // refines exactly — no extra Spark job for the broadcast.
+    val hitRows = retrieve(spec.text, kPrime, effMinScore, spec.conjunctive)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
 
-    // metadata join J1: broadcast the candidate set against the doc store
     val docs = SegmentIO.readDocs(spark, indexDir)
-    var joined = docs.join(broadcast(hits), "doc_id")
+    var joined = {
+      if (hitRows.isEmpty) docs.join(broadcast(spark.emptyDataset[(Long, Double)]
+        .toDF("doc_id", "score")), "doc_id")
+      else {
+        val hitShards = hitRows.map(_._1 / stats.docsPerShard).distinct.toSeq
+        val (minId, maxId) = (hitRows.map(_._1).min, hitRows.map(_._1).max)
+        docs.filter($"shard".isin(hitShards: _*) && $"doc_id".between(minId, maxId))
+          .join(broadcast(hitRows.toSeq.toDF("doc_id", "score")), "doc_id")
+      }
+    }
 
     // residual filters F2/F3 — post-retrieval, like the reference
     spec.tsAfter.foreach(a => joined = joined.filter($"ts" >= lit(a)))

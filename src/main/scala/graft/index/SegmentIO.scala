@@ -341,6 +341,51 @@ object SegmentIO {
     })
   }
 
+  /** Direct read of ONE shard's postings for a fixed term set,
+    * straight from its `postings/shard=N` partition dir — the postings
+    * analog of [[readShardNorms]]. The term equality filter is handed
+    * to parquet-hadoop ([[org.apache.parquet.filter2.predicate.FilterApi]]),
+    * which skips non-matching row groups AND pages via the column
+    * index (files are (term, block_id)-sorted, so a query's terms
+    * cluster in a handful of pages) and record-filters the rest. This
+    * is what lets a query schedule ONE task per shard with no
+    * corpus-wide scan stage and no shuffle: each task opens only its
+    * own shard dir, reads only its query-term pages.
+    */
+  def readShardPostings(dir: String, shard: Int, terms: Array[String]): Array[PostingBlock] = {
+    import org.apache.parquet.filter2.compat.FilterCompat
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.parquet.io.api.Binary
+    if (terms.isEmpty) return Array.empty
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new org.apache.hadoop.fs.Path(s"${postingsPath(dir)}/shard=$shard")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Array.empty
+    val pred: FilterPredicate = terms
+      .map(t => FilterApi.eq(FilterApi.binaryColumn("term"),
+        Binary.fromString(t)): FilterPredicate)
+      .reduce(FilterApi.or)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).flatMap { st =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+        .withConf(conf)
+        .withFilter(FilterCompat.get(pred))
+        .build()
+      try {
+        Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+          PostingBlock(
+            g.getBinary("term", 0).toStringUsingUTF8,
+            g.getInteger("block_id", 0), g.getInteger("n", 0),
+            g.getLong("first_doc", 0), g.getLong("last_doc", 0),
+            g.getBinary("doc_bytes", 0).getBytes,
+            g.getBinary("tf_bytes", 0).getBytes,
+            g.getInteger("block_max_tf", 0), g.getInteger("block_min_dl", 0),
+            g.getLong("sum_tf", 0), shard)
+        }.toArray
+      } finally reader.close()
+    }
+  }
+
   def readNorms(spark: SparkSession, dir: String): Dataset[NormsRow] = {
     import spark.implicits._
     spark.read.parquet(normsPath(dir))
