@@ -70,48 +70,49 @@ object EntityResolution {
       col("exact_key").as("c_exact"), col("norm_key").as("c_norm"),
       col("tk").as("c_tk"))
 
-    def pickOne(matches: DataFrame, order: Seq[Column]): DataFrame = {
-      val w = Window.partitionBy(col("qid")).orderBy(order: _*)
-      matches.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-    }
+    // Plan shape (see resolveCascadeFull for the full rationale): the
+    // cheap key stages run over the FULL query set and a single
+    // priority window at the end picks the earliest matching stage per
+    // qid — result-identical to anti-joining between every stage, but
+    // with one residual barrier instead of two and no per-stage
+    // subplan recompute. Only the expensive token-overlap stage is
+    // shielded by an anti-join (its input must stay residual-narrow at
+    // scale: most queries resolve on a key and must never reach the
+    // token explode).
+    val s1 = q.filter(length(col("exact_key")) > 0)
+      .join(c.filter(length(col("c_exact")) > 0),
+        col("exact_key") === col("c_exact"))
+      .select(col("qid"), col("cid"), lit("exact_id").as("method"),
+        lit(1.0).as("score"), lit(1).as("stage"))
+    val s2 = q.filter(length(col("norm_key")) > 0)
+      .join(c.filter(length(col("c_norm")) > 0),
+        col("norm_key") === col("c_norm"))
+      .select(col("qid"), col("cid"), lit("norm_key").as("method"),
+        lit(1.0).as("score"), lit(2).as("stage"))
 
-    // stage 1: exact identifier (empty keys never join)
-    val s1 = pickOne(
-      q.filter(length(col("exact_key")) > 0)
-        .join(c.filter(length(col("c_exact")) > 0),
-          col("exact_key") === col("c_exact"))
-        .select(col("qid"), col("cid")),
-      Seq(col("cid").asc))
-      .withColumn("method", lit("exact_id")).withColumn("score", lit(1.0))
-
-    // stage 2: normalized string key, unmatched rows only
-    val r1 = q.join(s1.select("qid"), Seq("qid"), "left_anti")
-    val s2 = pickOne(
-      r1.filter(length(col("norm_key")) > 0)
-        .join(c.filter(length(col("c_norm")) > 0),
-          col("norm_key") === col("c_norm"))
-        .select(col("qid"), col("cid")),
-      Seq(col("cid").asc))
-      .withColumn("method", lit("norm_key")).withColumn("score", lit(1.0))
-
-    // stage 3: fuzzy token overlap with equi-join prefilter
-    val r2 = r1.join(s2.select("qid"), Seq("qid"), "left_anti")
+    // stage 3: fuzzy token overlap with equi-join prefilter, over the
+    // key-unmatched residual only
+    val r2 = q.join(s1.select("qid").unionByName(s2.select("qid")),
+      Seq("qid"), "left_anti")
     val qTok = r2.select(col("qid"), size(col("tk")).as("qsz"),
       explode(col("tk")).as("tok"))
     val cTok = c.select(col("cid"), explode(col("c_tk")).as("tok"))
-    val inter = qTok.join(cTok, "tok")
+    val s3 = qTok.join(cTok, "tok")
       .groupBy(col("qid"), col("qsz"), col("cid"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("overlap", col("inter").cast("double") / col("qsz"))
       .filter(col("inter") >= minInter && col("overlap") >= minOverlap)
-    val s3 = pickOne(
-      inter.select(col("qid"), col("cid"), col("overlap")),
-      Seq(col("overlap").desc, col("cid").asc))
-      .withColumn("method", lit("fuzzy_overlap"))
-      .withColumn("score", col("overlap")).drop("overlap")
+      .select(col("qid"), col("cid"), lit("fuzzy_overlap").as("method"),
+        col("overlap").as("score"), lit(3).as("stage"))
 
+    // one window resolves both the stage priority and each stage's own
+    // best-candidate order (key stages: min cid via the constant
+    // score; fuzzy: max overlap then min cid)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("stage").asc, col("score").desc, col("cid").asc)
     s1.unionByName(s2).unionByName(s3)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .select(col("qid"), col("cid"), col("method"), col("score"))
   }
 
@@ -158,47 +159,63 @@ object EntityResolution {
       col("norm_key").as("c_norm"), col("author_key").as("c_author"),
       col("year").as("c_year"), col("tk").as("c_tk"))
 
-    def pickOne(matches: DataFrame, order: Seq[Column]): DataFrame = {
-      val w = Window.partitionBy(col("qid")).orderBy(order: _*)
-      matches.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-    }
-    def keyStage(in: DataFrame, qKey: String, cKey: String, method: String): DataFrame =
-      pickOne(
-        in.filter(length(col(qKey)) > 0)
-          .join(c.filter(length(col(cKey)) > 0), col(qKey) === col(cKey))
-          .select(col("qid"), col("cid")),
-        Seq(col("cid").asc))
-        .withColumn("method", lit(method)).withColumn("score", lit(1.0))
-    def residual(in: DataFrame, matched: DataFrame): DataFrame =
-      in.join(matched.select("qid"), Seq("qid"), "left_anti")
+    // Plan shape: chaining an anti-join between every stage reads
+    // nicely but executes terribly — each stage's subplan is pasted
+    // into BOTH the final union and every later residual, so stage 1
+    // re-executes ~5×, the exploding token join 2×, and the five
+    // pickOne windows + four anti-join barriers serialize the whole
+    // cascade. Residual semantics only need the SET of already-matched
+    // qids, and "earliest stage wins" is expressible as one window:
+    //
+    //   - the three KEY stages (exact id, DOI, norm title — cheap hash
+    //     equi-joins) run over the FULL query set, each row tagged with
+    //     its stage priority;
+    //   - ONE anti-join against their matched-qid union shields the
+    //     two expensive stages (token-overlap explode, author+year),
+    //     which stay residual-narrow — at scale most citations resolve
+    //     on a key and must never reach the token explode;
+    //   - ONE row_number window over the union picks, per qid, the
+    //     earliest stage and within it that stage's own best-candidate
+    //     order (key stages: min cid; overlap stages: max overlap,
+    //     then min cid).
+    //
+    // Result-identical to the chained formulation (a later-stage match
+    // for an early-matched qid is produced and then out-prioritized,
+    // never emitted), with 1 barrier instead of 4 and no subplan
+    // recompute.
+    def keyStage(qKey: String, cKey: String, method: String, stage: Int): DataFrame =
+      q.filter(length(col(qKey)) > 0)
+        .join(c.filter(length(col(cKey)) > 0), col(qKey) === col(cKey))
+        .select(col("qid"), col("cid"), lit(method).as("method"),
+          lit(1.0).as("score"), lit(stage).as("stage"))
 
-    val s1 = keyStage(q, "exact_key", "c_exact", "exact_id")
-    val r1 = residual(q, s1)
-    val s2 = keyStage(r1, "doi_key", "c_doi", "doi")
-    val r2 = residual(r1, s2)
-    val s3 = keyStage(r2, "norm_key", "c_norm", "norm_key")
-    val r3 = residual(r2, s3)
+    val s1 = keyStage("exact_key", "c_exact", "exact_id", 1)
+    val s2 = keyStage("doi_key", "c_doi", "doi", 2)
+    val s3 = keyStage("norm_key", "c_norm", "norm_key", 3)
+    val keyQids = s1.select("qid").unionByName(s2.select("qid"))
+      .unionByName(s3.select("qid"))
+    val r3 = q.join(keyQids, Seq("qid"), "left_anti")
 
     // stage 4: fuzzy token overlap with equi-join prefilter
     val qTok = r3.select(col("qid"), size(col("tk")).as("qsz"),
       explode(col("tk")).as("tok"))
     val cTok = c.select(col("cid"), explode(col("c_tk")).as("tok"))
-    val inter = qTok.join(cTok, "tok")
+    val s4 = qTok.join(cTok, "tok")
       .groupBy(col("qid"), col("qsz"), col("cid"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("overlap", col("inter").cast("double") / col("qsz"))
       .filter(col("inter") >= minInter && col("overlap") >= minOverlap)
-    val s4 = pickOne(
-      inter.select(col("qid"), col("cid"), col("overlap")),
-      Seq(col("overlap").desc, col("cid").asc))
-      .withColumn("method", lit("fuzzy_overlap"))
-      .withColumn("score", col("overlap")).drop("overlap")
-    val r4 = residual(r3, s4)
+      .select(col("qid"), col("cid"), lit("fuzzy_overlap").as("method"),
+        col("overlap").as("score"), lit(4).as("stage"))
 
     // stage 5: (author_key, year) equi-join; title token overlap
-    // decides when a title exists, else the match must be unique
-    val ay = r4.filter(length(col("author_key")) > 0 && length(col("year")) > 0)
+    // decides when a title exists, else the match must be unique.
+    // Runs on the key residual r3, not "r4" — a qid matched by stage 4
+    // also produces its stage-5 candidates here, but the priority
+    // window drops them, and the per-qid candidate count (`ncand`) is
+    // a property of the (author, year) join alone, identical either
+    // way.
+    val s5 = r3.filter(length(col("author_key")) > 0 && length(col("year")) > 0)
       .join(c.filter(length(col("c_author")) > 0),
         col("author_key") === col("c_author") && col("year") === col("c_year"))
       .withColumn("ov",
@@ -210,13 +227,14 @@ object EntityResolution {
       .filter(
         (size(col("tk")) > 0 && col("ov") >= ayOverlap) ||
           (size(col("tk")) === 0 && col("ncand") === 1))
-    val s5 = pickOne(
-      ay.select(col("qid"), col("cid"), col("ov")),
-      Seq(col("ov").desc, col("cid").asc))
-      .withColumn("method", lit("author_year"))
-      .withColumn("score", col("ov")).drop("ov")
+      .select(col("qid"), col("cid"), lit("author_year").as("method"),
+        col("ov").as("score"), lit(5).as("stage"))
 
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("stage").asc, col("score").desc, col("cid").asc)
     s1.unionByName(s2).unionByName(s3).unionByName(s4).unionByName(s5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .select(col("qid"), col("cid"), col("method"), col("score"))
   }
 }
