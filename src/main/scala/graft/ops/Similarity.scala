@@ -124,38 +124,54 @@ object Similarity {
       maxBucketSize: Int = 10000): DataFrame = {
     // All per-table buckets are computed in ONE narrow per-row pass
     // (native codegen kernel — a single static call per row) and
-    // posexploded to (id, tbl, bucket): no exchange, no persist, no
-    // row ever leaves its input partition before the bucket join.
+    // posexploded to (id, vec, tbl, bucket): no exchange, no persist,
+    // no row ever leaves its input partition before the bucket join.
     // plane(g)[d] with g = tbl*planesPerTable + j mirrors
     // planeComponent exactly.
+    //
+    // Vectors ride THROUGH the bucket shuffle so the exact-cosine
+    // verify happens inside pair generation — candidates and
+    // verification are one job, and the two id-keyed joins back
+    // against the (corpus-sized) vector table are gone. Pair
+    // generation is a grouped double-explode rather than a self-join:
+    // a (tbl, bucket) self-join lands every member of a bucket in one
+    // task anyway (the join key IS the bucket), but pastes the
+    // entries subplan — including the hot-bucket count shuffle — into
+    // BOTH join sides. Grouping bucket members into one row instead
+    // makes the cap a FREE `size <= maxBucketSize` filter on the
+    // aggregated array (no count shuffle, no broadcast anti-join) and
+    // leaves exactly two real exchanges in the whole operator: the
+    // bucket groupBy and the post-filter dedup.
+    //
+    // Byte tradeoff of carry-through: the bucket shuffle carries
+    // `tables` copies of each vector (dim·4 bytes) instead of bare
+    // ids, but the join formulation re-shuffled the full vector table
+    // TWICE plus the candidate relation twice; for moderate dims
+    // (≲256 floats) carry-through is strictly fewer bytes and three
+    // fewer waves. Size maxBucketSize against dim: one bucket's
+    // members (maxBucketSize · dim · 4 bytes) must fit a task
+    // comfortably — the m² explode of a capped-but-hot bucket is that
+    // task's work either way, identical to the self-join's per-key
+    // fan-out.
     val bucketArr = graft.functions.VectorExpressions
       .lshBuckets(col("vec"), dim, tables, planesPerTable)
     val entries = emb.select(id.as("id"), vec.as("vec"))
-      .select(col("id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
-    // hot-bucket cap: map-side partial groupBy count → the tiny
-    // oversized-bucket list broadcasts into an anti-join, so no row of
-    // a degenerate bucket ever funnels through a single task (the r02
-    // windowed count routed every row of a hot bucket through one
-    // task just to drop it)
-    val hot = entries.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select(col("tbl"), col("bucket"))
-    val pruned = entries.join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
-    val cand = pruned.as("l")
-      .join(pruned.as("r"),
-        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .select(col("id"), col("vec"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    val buckets = entries.groupBy(col("tbl"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucketSize)
     // pairs colliding in several tables verify redundantly (bounded by
     // `tables`) and dedup AFTER the tau filter, where the relation is
-    // smallest — cheaper than an exchange over the full candidate set
-    val vecs = emb.select(id.as("id"), vec.as("vec"))
-    cand
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        cosine(col("vec_a"), col("vec_b")).as("cos"))
+    // smallest — cheaper than an exchange over the full candidate set.
+    // collect_list order is partition-arrival nondeterministic, which
+    // is fine: the a×b product filtered to id_a < id_b is the same
+    // SET under any member order.
+    buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.vec"), col("b.vec")).as("cos"))
       .filter(col("cos") >= tau)
       .distinct()
   }
