@@ -273,6 +273,19 @@ object SparkEntry {
           round(col("cos"), 6).as("cos"))
         .orderBy("pid", "rank")
     }),
+    // IVF coarse-quantizer ANN: deterministic sampled centroids,
+    // broadcast argmax assignment, probes scan only nProbe inverted
+    // lists (equi-join on cid)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val probes = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+      Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), probes,
+        stride = 25L, nProbe = 4, k = 10)
+        .select(col("pid"), col("id").as("vec_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("pid", "rank")
+    }),
     // multi-table banded LSH ANN with bucket-size caps — the 10^9-
     // vector shape (recall stacked across tables, pair space bounded
     // per bucket, hot buckets dropped before the join)
@@ -779,10 +792,16 @@ object SparkEntry {
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac
        |WHERE jaccard >= $tau ORDER BY id_a, id_b""".stripMargin
 
-  private val cosSql =
-    """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-      |(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-      | sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))""".stripMargin
+  /** DuckDB cosine over two list expressions — same double promotion
+    * and left-to-right fold as [[graft.functions.VectorMath.cosine]],
+    * so scores hash-match bit-for-bit.
+    */
+  private def cosExpr(x: String, y: String) =
+    s"""list_dot_product($x::DOUBLE[], $y::DOUBLE[]) /
+       |(sqrt(list_dot_product($x::DOUBLE[], $x::DOUBLE[])) *
+       | sqrt(list_dot_product($y::DOUBLE[], $y::DOUBLE[])))""".stripMargin
+
+  private val cosSql = cosExpr("a.embedding", "b.embedding")
 
   private def lshBucketSql(dim: Int, planes: Int): String = {
     val bits = (0 until planes).map { j =>
@@ -1295,6 +1314,37 @@ object SparkEntry {
       "q_lsh_buckets" ->
         s"""SELECT ${lshBucketSql(64, 8)} AS bucket, count(*) AS n
            |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "q_ann_ivf" ->
+        s"""WITH cents AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           |  WHERE vec_id % 25 = 0),
+           |asg AS (
+           |  SELECT id, cid FROM (
+           |    SELECT a.vec_id AS id, c.cid,
+           |           row_number() OVER (PARTITION BY a.vec_id
+           |             ORDER BY ${cosExpr("a.embedding", "c.cvec")} DESC, c.cid) AS rn
+           |    FROM embeddings a CROSS JOIN cents c) WHERE rn = 1),
+           |probes AS (
+           |  SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+           |  WHERE vec_id < 3),
+           |pl AS (
+           |  SELECT pid, cid FROM (
+           |    SELECT p.pid, c.cid,
+           |           row_number() OVER (PARTITION BY p.pid
+           |             ORDER BY ${cosExpr("p.pvec", "c.cvec")} DESC, c.cid) AS rn
+           |    FROM probes p CROSS JOIN cents c) WHERE rn <= 4),
+           |cand AS (
+           |  SELECT pl.pid, asg.id, ${cosExpr("e.embedding", "p.pvec")} AS cos
+           |  FROM asg JOIN pl ON asg.cid = pl.cid
+           |       JOIN embeddings e ON e.vec_id = asg.id
+           |       JOIN probes p ON p.pid = pl.pid
+           |  WHERE asg.id <> pl.pid),
+           |ranked AS (
+           |  SELECT pid, id, cos,
+           |         row_number() OVER (PARTITION BY pid ORDER BY cos DESC, id) AS rank
+           |  FROM cand)
+           |SELECT pid, id AS vec_id, rank::INT AS rank, round(cos, 6) AS cos
+           |FROM ranked WHERE rank <= 10 ORDER BY pid, rank""".stripMargin,
       "q_ann_lsh_multi" -> annLshMultiSql(64, 4, 6, 0.4, 200),
       "q_media_features" ->
         """WITH m AS (

