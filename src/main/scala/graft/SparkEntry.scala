@@ -33,7 +33,7 @@ object SparkEntry {
   /** Bump when the segment schema changes — keys the on-disk cache so
     * a stale index from an older build never gets read.
     */
-  private val SegmentFormatVersion = 4
+  private val SegmentFormatVersion = 5
   private def indexFor(spark: SparkSession, sfDir: String): String =
     idxCache.getOrElseUpdate(sfDir, {
       val dir = s"/tmp/graft-qidx-v$SegmentFormatVersion-" +

@@ -35,19 +35,20 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
 
   lazy val stats: SegmentIO.IndexStats = SegmentIO.readStats(indexDir)
 
-  /** Driver-resident dictionary cache, term → Some((idf, maxScore)) /
-    * None for a confirmed zero-df term — the analog of the reference's
-    * resident in-RAM index (`src/search_engine.py:48-70`). Only terms
-    * actually queried are cached (bounded: whole-cache eviction like
-    * SegmentIO's dl cache), so repeat queries skip the dictionary job
-    * entirely. idf is derived from the engine-lifetime `stats`
-    * snapshot, so cached entries can never drift from it.
+  /** Driver-resident dictionary cache, term → Some((idf, maxScore,
+    * shard list)) / None for a confirmed zero-df term — the analog of
+    * the reference's resident in-RAM index
+    * (`src/search_engine.py:48-70`). Only terms actually queried are
+    * cached (bounded: whole-cache eviction like SegmentIO's dl
+    * cache), so repeat queries skip the dictionary job entirely. idf
+    * is derived from the engine-lifetime `stats` snapshot, so cached
+    * entries can never drift from it.
     */
   private val dictCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[(Double, Double)]]
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Double, Double, Seq[Int])]]
   private val MaxCachedTerms = 262144
 
-  private def termMetaFor(terms: Array[String]): Map[String, (Double, Double)] = {
+  private def termMetaFor(terms: Array[String]): Map[String, (Double, Double, Seq[Int])] = {
     val missing = terms.filterNot(dictCache.containsKey)
     if (missing.nonEmpty) {
       if (dictCache.size > MaxCachedTerms) dictCache.clear()
@@ -56,7 +57,8 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
         .filter($"term".isin(missing.toSeq: _*)).collect()
         .map { d =>
           val idf = Bm25.idf(stats.numDocs, d.df)
-          d.term -> (idf, Bm25.boundScore(idf, d.max_tf, d.min_dl, stats.avgdl))
+          d.term ->
+            (idf, Bm25.boundScore(idf, d.max_tf, d.min_dl, stats.avgdl), d.shards)
         }.toMap
       missing.foreach(t => dictCache.put(t, found.get(t)))
     }
@@ -92,16 +94,29 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     val dirLocal = indexDir
 
     // Shard fan-out with NO scan stage and NO shuffle: one task per
-    // shard, each opening only its own postings/shard=N (parquet page
-    // skip on the query terms) and norms/shard=N dirs — the Lucene
-    // shard-replica serving model. The whole query is a single
-    // one-stage job: per-shard WAND top-k heaps merge on the driver
-    // via TakeOrderedAndProject. The former formulation (corpus-wide
-    // term-pruned scan + groupByKey(shard)) paid a scan stage + a
-    // shuffle wave per query; at 10⁹ docs the scan's file-listing and
-    // task scheduling alone dominate the actual per-term page reads.
+    // ROUTED shard, each opening only its own postings/shard=N
+    // (parquet page skip on the query terms) and norms/shard=N dirs —
+    // the Lucene shard-replica serving model. The whole query is a
+    // single one-stage job: per-shard WAND top-k heaps merge on the
+    // driver via TakeOrderedAndProject. The former formulation
+    // (corpus-wide term-pruned scan + groupByKey(shard)) paid a scan
+    // stage + a shuffle wave per query; at 10⁹ docs the scan's
+    // file-listing and task scheduling alone dominate the actual
+    // per-term page reads.
+    //
+    // Routing comes from the dictionary's per-term shard lists (v5):
+    // OR queries visit the union of their terms' shards, AND queries
+    // only the intersection (a conjunctive match lives in one doc,
+    // hence one shard holding every term) — a rare-term query on a
+    // 10⁴-shard corpus schedules a handful of tasks, not 10⁴.
+    val routed: Array[Int] =
+      if (conjLocal)
+        present.map(t => termMeta(t)._3.toSet).reduce(_ intersect _).toArray.sorted
+      else present.flatMap(t => termMeta(t)._3).distinct.sorted
+    if (routed.isEmpty) return empty
+
     val hitsRdd = spark.sparkContext
-      .parallelize(0 until stats.numShards, stats.numShards)
+      .parallelize(routed.toIndexedSeq, routed.length)
       .flatMap { shard =>
         val blocks = SegmentIO.readShardPostings(dirLocal, shard, presentLocal)
         // two-level dl lookup: page = (doc - shardBase) / pageSize,
@@ -115,7 +130,7 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
           val byTerm = blocks.groupBy(_.term)
           val cursors = presentLocal.flatMap { t =>
             byTerm.get(t).map { bs =>
-              val (idf, maxScore) = metaLocal(t)
+              val (idf, maxScore, _) = metaLocal(t)
               new Wand.TermCursor(t, idf, maxScore, bs, avgdl)
             }
           }

@@ -253,11 +253,15 @@ object IndexBuilder {
     import spark.implicits._
     val obs = new org.apache.spark.sql.Observation(s"dict-${System.nanoTime()}")
     spark.read.parquet(postingsPath(dir))
-      .select($"term", $"n", $"sum_tf", $"block_max_tf", $"block_min_dl")
+      .select($"term", $"n", $"sum_tf", $"block_max_tf", $"block_min_dl",
+        $"shard".cast("int").as("shard"))
       .groupBy($"term")
       .agg(sum($"n").cast("long").as("df"), sum($"sum_tf").cast("long").as("cf"),
         max($"block_max_tf").cast("int").as("max_tf"),
-        min($"block_min_dl").cast("int").as("min_dl"))
+        min($"block_min_dl").cast("int").as("min_dl"),
+        // v5 shard-routing list: sorted for determinism (parallelism
+        // invariance), partial-aggregates map-side like the rest
+        sort_array(collect_set($"shard")).as("shards"))
       .observe(obs, count(lit(1)).as("rows"),
         expr("bit_xor(xxhash64(term, df, cf))").as("x"))
       .orderBy($"term").write.mode("overwrite").parquet(dictPath(dir))

@@ -100,9 +100,15 @@ object SegmentIO {
       shard: Int)
 
   /** Per-term stats; (max_tf, min_dl) bound the term's score the same
-    * way block metadata does, globally.
+    * way block metadata does, globally. `shards` (v5) is the sorted
+    * list of shards holding at least one posting for the term — the
+    * query router's shard-pruning structure: a query schedules tasks
+    * only for the union (OR) / intersection (AND) of its terms'
+    * shard lists instead of fanning out to every shard of a 10⁴-shard
+    * corpus.
     */
-  case class DictEntry(term: String, df: Long, cf: Long, max_tf: Int, min_dl: Int)
+  case class DictEntry(term: String, df: Long, cf: Long, max_tf: Int, min_dl: Int,
+      shards: Seq[Int])
 
   /** One fixed-size page of the per-shard doc-length (BM25 norm)
     * array: doc ids within a page are contiguous
