@@ -143,7 +143,8 @@ object SparkEntry {
     }),
     // DataFrame oracle path (Q2 exhaustive scan analog)
     "q_bm25_oracle_df" -> ((s, dir) => {
-      OracleEngine.topK(s, Corpus.transcripts(s, dir), "slow query filter", 20)
+      OracleEngine.topK(s, Corpus.transcripts(s, dir), "slow query filter", 20,
+        statsKey = Some(dir))
         .select(col("conv_id"), col("turn_idx"), round(col("score"), 4).as("score"))
         .orderBy("conv_id", "turn_idx")
     }),
@@ -544,7 +545,7 @@ object SparkEntry {
     // the scored candidate set, plus min/max
     "q_score_stats" -> ((s, dir) => {
       val scored = OracleEngine.topK(s, Corpus.transcripts(s, dir),
-        "vector window stream", k = 500)
+        "vector window stream", k = 500, statsKey = Some(dir))
       scored.agg(
         count(lit(1)).as("n"),
         round(min(col("score")), 4).as("min_s"),
@@ -628,21 +629,23 @@ object SparkEntry {
       import s.implicits._
       val included = Seq(("c00000000", 1), ("c00000001", 2), ("c00000062", 3),
         ("c00000040", 0)).toDF("conv_id", "turn_idx")
-      // rank = global position in the already-sorted, already-limited
-      // top-k output — zipWithIndex over the sorted partitions instead
-      // of an unpartitioned Window.orderBy (which would single-
-      // partition-sort the whole relation)
-      val scoredAll = OracleEngine.topK(s, Corpus.transcripts(s, dir),
-        "data table row", k = 100000, minScore = 0.0)
-      val ranked = s.createDataFrame(
-        scoredAll.rdd.zipWithIndex.map { case (r, i) =>
-          (r.getString(0), r.getInt(1), r.getDouble(2), i + 1)
-        }).toDF("conv_id", "turn_idx", "score", "rank")
-      included.join(ranked, Seq("conv_id", "turn_idx"), "left")
+      // the diagnosis needs each included doc's score and ONE bit of
+      // its global rank (> 10 or not) — "rank > 10" is exactly "not in
+      // the top 10", so a TakeOrdered(10) membership branch replaces
+      // the former global-sort + zipWithIndex job chain (r2), which
+      // sorted and materialized a 100k-row ranking to read 4 rows of it
+      val scored = OracleEngine.scoreAll(s, Corpus.transcripts(s, dir),
+        "data table row", minScore = 0.0, statsKey = Some(dir))
+        .select(col("conv_id"), col("turn_idx"), col("score"))
+      val top10 = scored
+        .orderBy(desc("score"), asc("conv_id"), asc("turn_idx")).limit(10)
+        .select(col("conv_id"), col("turn_idx"), lit(1).as("in_top"))
+      included.join(scored, Seq("conv_id", "turn_idx"), "left")
+        .join(top10, Seq("conv_id", "turn_idx"), "left")
         .select(col("conv_id"), col("turn_idx"),
           when(col("score").isNull, lit("no_term_match"))
             .when(col("score") < 0.3, lit("below_threshold"))
-            .when(col("rank") > 10, lit("outside_topk"))
+            .when(col("in_top").isNull, lit("outside_topk"))
             .otherwise(lit("retrieved")).as("diagnosis"))
         .orderBy("conv_id", "turn_idx")
     }),

@@ -23,27 +23,52 @@ object OracleEngine {
   def idfCol(numDocs: Long, df: Column): Column =
     log((lit(numDocs.toDouble) - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
 
-  /** @return (conv_id, turn_idx, score, n_match) top-k rows */
-  def topK(
+  /** (numDocs, avgdl) memo keyed on caller-supplied corpus identity:
+    * the stats pass is a full tokenize of the corpus, and every
+    * oracle query over the same input recomputed it before scoring —
+    * two corpus tokenizes per query. The indexed path reads these
+    * from stats.json; this is the oracle path's equivalent artifact.
+    * Callers that mutate a corpus under the same key must not pass a
+    * key (default None = always recompute).
+    */
+  private val statsCache =
+    new scala.collection.concurrent.TrieMap[String, (Long, Double)]
+
+  /** Exhaustive scoring WITHOUT the top-k sort: every matching doc's
+    * exact BM25 score. For callers that need the full score relation
+    * (rank diagnosis, score statistics) — branching this instead of
+    * sorting the whole corpus keeps the global sort out of plans that
+    * never needed it.
+    *
+    * @return (conv_id, turn_idx, score, n_match), unordered
+    */
+  def scoreAll(
       spark: SparkSession,
       turns: Dataset[Turn],
       queryText: String,
-      k: Int,
       conjunctive: Boolean = false,
-      minScore: Double = 0.0): DataFrame = {
+      minScore: Double = 0.0,
+      statsKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     val qTerms = Tokenizer.tokenize(queryText).distinct.sorted.toSeq
     if (qTerms.isEmpty)
-      return spark.emptyDataset[(String, Int, Double)].toDF("conv_id", "turn_idx", "score")
+      return spark.emptyDataset[(String, Int, Double, Long)]
+        .toDF("conv_id", "turn_idx", "score", "n_match")
 
     val toks = turns
       .select($"conv_id", $"turn_idx", Tokenizer.tokensCol($"text").as("tokens"))
       .withColumn("dl", size($"tokens"))
 
-    val statRow = toks.agg(count(lit(1)), sum($"dl")).collect()(0)
-    val n = statRow.getLong(0)
-    val totalTokens = if (statRow.isNullAt(1)) 0L else statRow.getLong(1)
-    val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
+    def computeStats(): (Long, Double) = {
+      val statRow = toks.agg(count(lit(1)), sum($"dl")).collect()(0)
+      val nd = statRow.getLong(0)
+      val totalTokens = if (statRow.isNullAt(1)) 0L else statRow.getLong(1)
+      (nd, if (nd == 0) 0.0 else totalTokens.toDouble / nd)
+    }
+    val (n, avgdl) = statsKey match {
+      case Some(k) => statsCache.getOrElseUpdate(k, computeStats())
+      case None => computeStats()
+    }
 
     val tf = toks
       .select($"conv_id", $"turn_idx", $"dl", explode($"tokens").as("term"))
@@ -70,13 +95,21 @@ object OracleEngine {
           (acc, x) => acc + x.getField("contrib")).as("score"),
         count(lit(1)).as("n_match"))
 
-    val filtered =
-      (if (conjunctive) scored.filter($"n_match" === qTerms.length) else scored)
-        .filter($"score" >= lit(minScore))
+    (if (conjunctive) scored.filter($"n_match" === qTerms.length) else scored)
+      .filter($"score" >= lit(minScore))
+  }
 
-    filtered
+  /** @return (conv_id, turn_idx, score, n_match) top-k rows */
+  def topK(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      queryText: String,
+      k: Int,
+      conjunctive: Boolean = false,
+      minScore: Double = 0.0,
+      statsKey: Option[String] = None): DataFrame =
+    scoreAll(spark, turns, queryText, conjunctive, minScore, statsKey)
       .orderBy(desc("score"), asc("conv_id"), asc("turn_idx"))
       .limit(k)
-      .select($"conv_id", $"turn_idx", $"score")
-  }
+      .select(col("conv_id"), col("turn_idx"), col("score"))
 }
