@@ -93,6 +93,37 @@ object Dedup {
     if (dedupPairs) pairs.distinct() else pairs
   }
 
+  /** [[lshCandidates]] with the shingle-set sizes riding along:
+    * (id_a, sz_a, id_b, sz_b), duplicates NOT removed. Pair
+    * generation is a grouped double-explode instead of a bucket
+    * self-join — the join pasted the whole signature subplan
+    * (shingles → minhash agg over the corpus) into BOTH sides, and
+    * carrying sz through the one bucket groupBy lets the verify
+    * compute Jaccard without joining the signature relation back
+    * twice. A bucket-keyed self-join put each bucket's pairs in one
+    * task anyway, so the fan-out profile is unchanged.
+    */
+  def lshCandidatesWithSizes(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        Hashing.hash32(concat_ws(",",
+          (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"mh$i").cast("string")): _*))
+          .as("bucket"))
+    }
+    sig
+      .select(col("id"), col("sz"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.sz").as("sz_a"),
+        col("b.id").as("id_b"), col("b.sz").as("sz_b"))
+  }
+
   /** Exact Jaccard for given candidate pairs via shared-shingle
     * counts: |A∩B| / (|A| + |B| - |A∩B|).
     *
@@ -146,10 +177,17 @@ object Dedup {
       tau: Double = 0.6): DataFrame = {
     val sh = shingles(df, id, text, shingleSize)
     val sig = minhashSignatures(sh, numHashes)
-    // pair-dedup happens inside the verify stage (before its explode);
-    // sizes ride along from the signature agg
-    val cand = lshCandidates(sig, numHashes, bands, dedupPairs = false)
-    verifyJaccard(sh, cand, sig.select(col("id"), col("sz")))
+    // sizes ride the candidate pairs (one signature computation total);
+    // multi-band duplicate pairs dedup here, before the verify explode
+    val p = lshCandidatesWithSizes(sig, numHashes, bands).distinct()
+    val aSh = p.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+    aSh
+      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 
