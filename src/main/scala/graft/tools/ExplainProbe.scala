@@ -16,9 +16,16 @@ object ExplainProbe {
       .explain("formatted")
     println("=== dictionary lookup ===")
     SegmentIO.readDict(spark, dir).filter($"term".isin("t00001")).explain("formatted")
-    println("=== docs metadata join with broadcast hits ===")
+    println("=== docs metadata join: shard+range pruned, LocalRelation broadcast ===")
+    // the search() join shape: shard isin prunes partition dirs,
+    // doc_id range prunes row groups (docs are doc_id-sorted), the
+    // broadcast local relation refines exactly with no extra job
     val hits = Seq((1L, 0.5), (2L, 0.4)).toDF("doc_id", "score")
-    SegmentIO.readDocs(spark, dir).join(broadcast(hits), "doc_id")
+    val stats = SegmentIO.readStats(dir)
+    val shards = Seq(1L, 2L).map(_ / stats.docsPerShard).distinct
+    SegmentIO.readDocs(spark, dir)
+      .filter($"shard".isin(shards: _*) && $"doc_id".between(1L, 2L))
+      .join(broadcast(hits), "doc_id")
       .select("conv_id", "turn_idx", "score").explain("formatted")
     spark.stop()
   }
