@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.api.SearchEngine
 import graft.index.{IndexBuilder, SegmentIO}
 import graft.model.QuerySpec
-import graft.ops.{Corpus, Dedup, EntityResolution, Hashing, Multimodal, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, EntityResolution, Hashing, Hybrid, Multimodal, Similarity, TextOps}
 import graft.query.OracleEngine
 import graft.tokenize.Tokenizer
 
@@ -273,6 +273,21 @@ object SparkEntry {
         .select(col("pid"), col("id").as("vec_id"), col("rank"),
           round(col("cos"), 6).as("cos"))
         .orderBy("pid", "rank")
+    }),
+    // hybrid keyword+semantic fusion (the reference's roadmap item):
+    // BM25 top-N and cosine top-N lists full-outer joined, min-max
+    // normalized per side, fused = alpha*bm25 + (1-alpha)*cos
+    "q_hybrid_fusion" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Hybrid.hybridTopK(docs, col("doc_id"), col("text"),
+        emb, col("vec_id"), col("embedding"),
+        "spark window vector merge", probeId = 7L, alpha = 0.6, n = 50, k = 20)
+        .select(col("id").as("doc_id"),
+          round(col("bm25_norm"), 6).as("bm25_norm"),
+          round(col("cos_norm"), 6).as("cos_norm"),
+          round(col("fused"), 6).as("fused"))
+        .orderBy("doc_id")
     }),
     // IVF coarse-quantizer ANN: deterministic sampled centroids,
     // broadcast argmax assignment, probes scan only nProbe inverted
@@ -1317,6 +1332,55 @@ object SparkEntry {
       "q_lsh_buckets" ->
         s"""SELECT ${lshBucketSql(64, 8)} AS bucket, count(*) AS n
            |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "q_hybrid_fusion" -> {
+        val terms = Tokenizer.tokenize("spark window vector merge").distinct.sorted.toSeq
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |              x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}) AS tk
+           |  FROM documents),
+           |d AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
+           |stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+           |tf AS (
+           |  SELECT doc_id, dl, term, count(*)::INT AS tf
+           |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM d)
+           |  WHERE term IN ${sqlList(terms)}
+           |  GROUP BY doc_id, dl, term),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |         sum(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+           |             (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+           |             ORDER BY tf.term) AS score
+           |  FROM tf JOIN dfreq f USING (term), stats s
+           |  GROUP BY tf.doc_id),
+           |bmtop AS (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+           |vtop AS (
+           |  SELECT a.vec_id AS doc_id, ${cosExpr("a.embedding", "p.pvec")} AS cos
+           |  FROM embeddings a,
+           |       (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 7) p
+           |  WHERE a.vec_id <> 7
+           |  ORDER BY cos DESC, doc_id LIMIT 50),
+           |mm AS (SELECT (SELECT min(score) FROM bmtop) AS bmin,
+           |              (SELECT max(score) FROM bmtop) AS bmax,
+           |              (SELECT min(cos) FROM vtop) AS cmin,
+           |              (SELECT max(cos) FROM vtop) AS cmax),
+           |fz AS (
+           |  SELECT doc_id,
+           |         CASE WHEN b.score IS NULL THEN 0.0::DOUBLE
+           |              WHEN m.bmax > m.bmin THEN (b.score - m.bmin) / (m.bmax - m.bmin)
+           |              ELSE 1.0::DOUBLE END AS bm25_norm,
+           |         CASE WHEN v.cos IS NULL THEN 0.0::DOUBLE
+           |              WHEN m.cmax > m.cmin THEN (v.cos - m.cmin) / (m.cmax - m.cmin)
+           |              ELSE 1.0::DOUBLE END AS cos_norm
+           |  FROM bmtop b FULL OUTER JOIN vtop v USING (doc_id), mm m),
+           |res AS (
+           |  SELECT doc_id, bm25_norm, cos_norm,
+           |         0.6::DOUBLE * bm25_norm + 0.4::DOUBLE * cos_norm AS fused
+           |  FROM fz ORDER BY fused DESC, doc_id LIMIT 20)
+           |SELECT doc_id, round(bm25_norm, 6) AS bm25_norm,
+           |       round(cos_norm, 6) AS cos_norm, round(fused, 6) AS fused
+           |FROM res ORDER BY doc_id""".stripMargin
+      },
       "q_ann_ivf" ->
         s"""WITH cents AS (
            |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings

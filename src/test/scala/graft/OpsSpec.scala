@@ -185,6 +185,44 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 was $recall")
   }
 
+  test("hybrid fusion: normalized bounds, alpha weighting, missing-side zero") {
+    import spark.implicits._
+    import graft.ops.Hybrid
+    val docs = Seq(
+      (0L, "spark query engine spark"),   // strongest keyword match
+      (1L, "spark query"),
+      (2L, "nothing relevant here"),
+      (3L, "query engine once")
+    ).toDF("doc_id", "text")
+    def vec(i: Int): Seq[Float] =
+      (0 until 4).map(d => ((i * 13 + d * 7) % 11 - 5).toFloat / 6f)
+    // ids 0,1,3,9: doc 2 has no embedding; 9 has no text match
+    val emb = (Seq(0, 1, 3, 9).map(i => (i.toLong, vec(i))) :+
+      (7L, vec(3).map(_ * 3f))) // probe, colinear with 3
+      .toDF("vec_id", "embedding")
+
+    val out = Hybrid.hybridTopK(docs, col("doc_id"), col("text"),
+      emb, col("vec_id"), col("embedding"),
+      "spark query engine", probeId = 7L, alpha = 0.6, n = 10, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+
+    out.values.foreach { case (b, c, f) =>
+      assert(b >= 0.0 && b <= 1.0 && c >= 0.0 && c <= 1.0)
+      assert(math.abs(f - (0.6 * b + 0.4 * c)) < 1e-12)
+    }
+    // strongest keyword match normalizes to 1.0 on the bm25 side
+    assert(out(0L)._1 == 1.0)
+    // colinear vector tops the cosine side
+    assert(out(3L)._2 == 1.0)
+    // doc 2 never retrieved (no query term, no embedding near probe —
+    // it HAS no embedding at all, so only the bm25 list could surface
+    // it, and it matches no term)
+    assert(!out.contains(2L))
+    // id 9: vector-only hit — bm25 side must be exactly 0
+    assert(out.contains(9L) && out(9L)._1 == 0.0)
+  }
+
   test("language ID on real sentences") {
     assert(TextOps.langId("the quick brown fox is in the garden with a dog") == "en")
     assert(TextOps.langId("der hund ist nicht mit der katze und das haus") == "de")
