@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -233,10 +233,26 @@ object Similarity {
       nProbe: Int,
       k: Int): DataFrame = {
     val cents = ivfCentroids(emb, id, vec, stride)
-    val assigned = ivfAssign(emb, id, vec, cents)
+    ivfTopKAssigned(ivfAssign(emb, id, vec, cents), cents, probes, nProbe, k)
+  }
+
+  /** Query path over a PRE-BUILT assignment table — the production
+    * IVF shape: [[ivfWrite]] persists (cid, id, vec) partitioned by
+    * cid once, and every probe after that reads ONLY its nProbe
+    * centroid directories (`cid IN (...)` is a partition filter — the
+    * scan never touches the other lists' files). The assignment sweep
+    * (n × centroids cosines) is paid at build time, like the posting
+    * index.
+    */
+  def ivfTopKAssigned(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      probes: DataFrame,
+      nProbe: Int,
+      k: Int): DataFrame = {
     val wp = Window.partitionBy(col("pid")).orderBy(desc("pcos"), asc("cid"))
     val probeLists = probes
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centroids))
       .select(col("pid"), col("pvec"), col("cid"),
         cosine(col("pvec"), col("cvec")).as("pcos"))
       .withColumn("rn", row_number().over(wp))
@@ -251,5 +267,29 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("pid"), col("id"), col("cos"), col("rank"))
+  }
+
+  /** Persist the IVF index: inverted lists partitioned by cid (probe
+    * reads prune at the directory level) plus the centroid table.
+    */
+  def ivfWrite(emb: DataFrame, id: Column, vec: Column, stride: Long,
+      dir: String): Unit = {
+    val cents = ivfCentroids(emb, id, vec, stride)
+    ivfAssign(emb, id, vec, cents)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Read back a persisted IVF index as (assigned, centroids). When
+    * the probe set is known, filter `assigned` with `cid isin(...)`
+    * BEFORE any action so the partition filter prunes list dirs (the
+    * equi-join in [[ivfTopKAssigned]] does this implicitly via
+    * broadcast-join pruning only at runtime; an explicit filter shows
+    * up as PartitionFilters in the scan).
+    */
+  def ivfRead(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val assigned = spark.read.parquet(s"$dir/lists")
+      .select(col("id"), col("vec"), col("cid").cast("long").as("cid"))
+    (assigned, spark.read.parquet(s"$dir/centroids"))
   }
 }

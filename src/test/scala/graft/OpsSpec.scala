@@ -185,6 +185,34 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 was $recall")
   }
 
+  test("persisted IVF index: probe over read-back lists equals the in-memory path") {
+    import spark.implicits._
+    def vec(i: Int): Seq[Float] =
+      (0 until 8).map(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f)
+    val emb = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+
+    val dir = tempDir("ivf")
+    Similarity.ivfWrite(emb, col("vec_id"), col("embedding"), stride = 8L, dir)
+    val (assigned, cents) = Similarity.ivfRead(spark, dir)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pid"), col("id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val persisted = rows(Similarity.ivfTopKAssigned(assigned, cents, probes,
+      nProbe = 2, k = 5))
+    val inMemory = rows(Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      probes, stride = 8L, nProbe = 2, k = 5))
+    assert(persisted == inMemory && persisted.nonEmpty)
+
+    // an explicit cid filter on the read-back lists prunes at the
+    // partition-directory level
+    val plan = assigned.filter(col("cid").isin(0L, 8L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"))
+  }
+
   test("hybrid fusion: normalized bounds, alpha weighting, missing-side zero") {
     import spark.implicits._
     import graft.ops.Hybrid
