@@ -33,22 +33,43 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
   val MaxTopK = 10000 // reference MAX_TOP_K, config/config.py:271
   val OverFetchFactor = 5 // reference search_k = top_k * 5
 
-  lazy val stats: SegmentIO.IndexStats = SegmentIO.readStats(indexDir)
-
   /** Driver-resident dictionary cache, term → Some((idf, maxScore,
     * shard list)) / None for a confirmed zero-df term — the analog of
     * the reference's resident in-RAM index
     * (`src/search_engine.py:48-70`). Only terms actually queried are
     * cached (bounded: whole-cache eviction like SegmentIO's dl
-    * cache), so repeat queries skip the dictionary job entirely. idf
-    * is derived from the engine-lifetime `stats` snapshot, so cached
-    * entries can never drift from it.
+    * cache), so repeat queries skip the dictionary job entirely.
+    *
+    * Freshness: idf derives from the `stats` snapshot, and BOTH are
+    * keyed to the segment's mutation generation (bumped by every
+    * in-place mutation path — append, recovery, compaction — via
+    * `SegmentIO.invalidateDlCache`). A query after an append sees the
+    * new stats, new dictionary entries, and the new shard routing
+    * lists; without this an appended shard would be invisible to a
+    * live engine forever (the executor dl cache already invalidated,
+    * the driver caches did not).
     */
   private val dictCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[(Double, Double, Seq[Int])]]
   private val MaxCachedTerms = 262144
 
+  @volatile private var statsSnapshot: SegmentIO.IndexStats = _
+  @volatile private var gen: Long = -1L
+  private def ensureFresh(): Unit = {
+    val g = SegmentIO.generation(indexDir)
+    if (statsSnapshot == null || g != gen) synchronized {
+      if (statsSnapshot == null || g != gen) {
+        dictCache.clear()
+        statsSnapshot = SegmentIO.readStats(indexDir)
+        gen = g
+      }
+    }
+  }
+  def stats: SegmentIO.IndexStats = { ensureFresh(); statsSnapshot }
+
   private def termMetaFor(terms: Array[String]): Map[String, (Double, Double, Seq[Int])] = {
+    ensureFresh() // MUST lead: a fully-cached term set would otherwise
+    // never consult `stats` and serve stale entries across a mutation
     val missing = terms.filterNot(dictCache.containsKey)
     if (missing.nonEmpty) {
       if (dictCache.size > MaxCachedTerms) dictCache.clear()

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for the vector kernels (SURVEY §2
   * similarity family). Both stay inside whole-stage codegen: doGenCode
@@ -13,9 +13,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * 4-table×6-plane×64-dim LSH projection).
   */
 
-/** cos(a, b) over two array<float> columns. Null if either side is. */
+/** cos(a, b) over two array<float> columns. Null if either side is.
+  * Inputs are PINNED to array<float>: the kernel reads 4-byte floats
+  * positionally, so an array<double> slipping through analysis
+  * unchanged would read garbage half-words under codegen. With
+  * ImplicitCastInputTypes the analyzer inserts an explicit
+  * array<double> → array<float> cast instead (values stay correct at
+  * float precision), and non-castable inputs fail analysis.
+  */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
@@ -37,7 +46,8 @@ case class CosineSim(left: Expression, right: Expression)
   * (see [[VectorMath.lshBuckets]] for the plane contract).
   */
 case class LshBuckets(child: Expression, dim: Int, tables: Int, planes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_buckets"
 

@@ -569,16 +569,7 @@ object IndexBuilder {
 
     // ---- stats + docs manifest refresh ----
     writeStats(dir, stats1)
-    val shardRows = readDocs(spark, dir)
-      .groupBy("shard")
-      .agg(count(lit(1)).as("c"),
-        expr("bit_xor(xxhash64(doc_id, conv_id, turn_idx))").as("x"))
-      .collect()
-    val perShard = shardRows.map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
-    val checksum = shardRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
-      .foldLeft(0L)(_ ^ _)
-    writeManifest(dir, StageManifest("docs", newN, newN, checksum, perShard))
-    writeManifest(dir, StageManifest("stats", newN, 1, totalTokens, Nil))
+    writeDocsAndStatsManifests(spark, dir, newN, totalTokens)
     writeSnapshot(dir, Seq("docs", "stats", "dictionary", "postings", "norms"))
     SegmentIO.clearAppendMarker(dir) // snapshot committed — append done
     SegmentIO.invalidateDlCache(dir) // norms rewritten in place
@@ -588,9 +579,12 @@ object IndexBuilder {
     stats1
   }
 
-  /** Torn-append recovery: restore the last committed state (stats0 is
-    * the authority — stats.json is written LAST in the append
-    * protocol, so its numDocs never includes uncommitted docs).
+  /** Torn-append recovery: restore the last committed state. stats0
+    * is the authority: stats.json is written only after every TABLE
+    * mutation (docs/postings/norms/dictionary) has completed, so its
+    * numDocs never counts docs rows that aren't fully on disk; the
+    * manifests + snapshot that follow it, and the marker clear that
+    * commits the append, are exactly what this recovery can replay.
     *
     * Only shard dirs >= boundary = numDocs/docsPerShard can contain
     * torn rows (delta doc ids continue the id space upward):
@@ -634,6 +628,15 @@ object IndexBuilder {
       shardIds(base).filter(_ >= minDrop).foreach(rmShard(base, _))
     }
     if (boundaryPartial) {
+      val shardDir = java.nio.file.Paths.get(docsPath(dir), s"shard=$boundary")
+      val tmpShard = java.nio.file.Paths.get(docsPath(dir),
+        s".shard${boundary}_recovering")
+      // salvage a PRIOR recovery's staged dir if a crash hit between
+      // its delete and move (staging write completed — it precedes the
+      // delete — and the shard dir is absent)
+      if (java.nio.file.Files.exists(tmpShard) &&
+          !java.nio.file.Files.exists(shardDir))
+        java.nio.file.Files.move(tmpShard, shardDir)
       // restore the boundary docs dir to its committed prefix
       val keep = readDocs(spark, dir)
         .filter($"shard" === boundary && $"doc_id" < oldN)
@@ -642,8 +645,18 @@ object IndexBuilder {
         .persist()
       val kn = keep.count()
       if (kn > 0) {
-        keep.coalesce(1).write.mode("overwrite")
-          .parquet(s"${docsPath(dir)}/shard=$boundary")
+        // stage to a sibling temp dir, then swap: writing straight
+        // into shard=N would overwrite the very files `keep`'s plan
+        // reads — persist() makes recompute unlikely in local mode,
+        // but an executor loss mid-write on a cluster would recompute
+        // partitions from the half-deleted source and silently lose
+        // committed boundary docs (same pattern as compactWith's
+        // build-then-swap). The dot-prefixed dir is invisible to
+        // Spark's file index if a second crash leaves it behind.
+        deleteRecursively(tmpShard)
+        keep.coalesce(1).write.mode("overwrite").parquet(tmpShard.toString)
+        deleteRecursively(shardDir)
+        java.nio.file.Files.move(tmpShard, shardDir)
         // re-encode boundary postings from decode ⋈ restored docs
         val dlB = keep.select($"doc_id", $"dl")
         val decoded = readPostings(spark, dir)
@@ -668,12 +681,39 @@ object IndexBuilder {
       } else rmShard(docsPath(dir), boundary)
       keep.unpersist()
     }
-    // derived state + manifests back to the committed corpus
+    // derived state + manifests back to the committed corpus — ALL of
+    // them: the append window dirties docs/stats manifests and the
+    // snapshot too (a crash after writeStats but before the manifest
+    // refresh would otherwise leave a docs manifest whose row count
+    // and checksum disagree with the healthy table forever)
     writeDictionary(spark, dir, oldN)
     writePostingsManifest(spark, dir, oldN, observedChecksum = None)
     writeNormsManifest(spark, dir, oldN)
+    writeDocsAndStatsManifests(spark, dir, oldN, stats0.totalTokens)
+    writeSnapshot(dir, Seq("docs", "stats", "dictionary", "postings", "norms"))
     SegmentIO.clearAppendMarker(dir)
     SegmentIO.invalidateDlCache(dir)
+  }
+
+  /** Recompute the docs-table manifest (per-shard rows + xxhash
+    * lineage checksum) and the stats manifest from the tables on
+    * disk. Shared by the append tail and torn-append recovery —
+    * recovery must restore EVERY manifest the append window can
+    * dirty, not only the derived (dictionary/postings/norms) ones.
+    */
+  private def writeDocsAndStatsManifests(
+      spark: SparkSession, dir: String, n: Long, totalTokens: Long): Unit = {
+    import spark.implicits._
+    val shardRows = readDocs(spark, dir)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("c"),
+        expr("bit_xor(xxhash64(doc_id, conv_id, turn_idx))").as("x"))
+      .collect()
+    val perShard = shardRows.map(r => (r.get(0).toString, r.getLong(1))).sortBy(_._1).toSeq
+    val checksum = shardRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
+      .foldLeft(0L)(_ ^ _)
+    writeManifest(dir, StageManifest("docs", n, n, checksum, perShard))
+    writeManifest(dir, StageManifest("stats", n, 1, totalTokens, Nil))
   }
 
   /** Out-of-order upsert path: full rebuild over union(existing docs,
@@ -694,10 +734,13 @@ object IndexBuilder {
       .as[Turn]
     val tmp = dir + ".compacting"
     deleteRecursively(java.nio.file.Paths.get(tmp))
+    // cacheInput off: the union is parquet-backed docs plus the
+    // already-persisted delta — re-persisting pays the VM's
+    // first-touch page-fault tax (CLAUDE.md) for zero recompute saved
     val st = build(spark, existing.unionByName(delta), tmp,
       Config(blockSize = stats0.blockSize, numPartitions = numPartitions,
         normsPageSize = stats0.normsPageSize,
-        docsPerShard = Some(stats0.docsPerShard)))
+        docsPerShard = Some(stats0.docsPerShard), cacheInput = false))
     val old = dir + ".old"
     deleteRecursively(java.nio.file.Paths.get(old))
     java.nio.file.Files.move(java.nio.file.Paths.get(dir),

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *                within files (text + dl; tokens are NOT stored —
   *                they live only in the build process, see
   *                [[IndexedTurnTk]])
-  *   dictionary/  parquet, term-sorted: term, df, cf, max_tf, min_dl
+  *   dictionary/  parquet, term-sorted: term, df, cf, max_tf,
+  *                min_dl, shards (v5 routing list)
   *   postings/    parquet, partitionBy(shard) dirs, (term, block_id)-
   *                sorted within files — a shard dir is the unit of
   *                overwrite for append/resume
@@ -28,7 +29,7 @@ import org.apache.spark.sql.functions._
   *   manifest/    per-stage JSON manifests (lineage + resume markers)
   * }}}
   *
-  * Format v4 invariant: NOTHING on disk depends on corpus-level
+  * Format v5 invariant: NOTHING on disk depends on corpus-level
   * statistics (avgdl) — block/dictionary metadata store raw (max_tf,
   * min_dl) bounds and the avgdl-dependent BM25 upper bounds are
   * derived at query time. This is what makes incremental append
@@ -294,7 +295,7 @@ object SegmentIO {
     * storage).
     */
   def readShardNorms(dir: String, shard: Int): Array[NormsRow] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = sharedHadoopConf
     val p = new org.apache.hadoop.fs.Path(s"${normsPath(dir)}/shard=$shard")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Array.empty
@@ -331,8 +332,31 @@ object SegmentIO {
     * immutable snapshot dirs instead of mutating a live segment, so
     * rewrites there arrive as new paths.
     */
-  private[graft] def invalidateDlCache(dir: String): Unit =
+  private[graft] def invalidateDlCache(dir: String): Unit = {
     dlCache.keySet.removeIf(_.startsWith(s"$dir#"))
+    // every in-place mutation path (append, torn-append recovery,
+    // compaction, rebuild) funnels through this call, so it doubles as
+    // the segment's change signal: driver-side caches (SearchEngine's
+    // dictionary/stats snapshot) re-validate against the generation
+    dirGeneration.merge(dir, java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+  }
+
+  /** Monotonic per-dir mutation counter, bumped by
+    * [[invalidateDlCache]]. 0 for a never-mutated dir.
+    */
+  private val dirGeneration =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private[graft] def generation(dir: String): Long =
+    Option(dirGeneration.get(dir)).map(_.longValue).getOrElse(0L)
+
+  /** Shared read-only Hadoop conf for the task-side direct parquet
+    * reads: `new Configuration()` re-parses the XML default resources
+    * on every call — a real per-call cost on the per-query serving
+    * path (one readShardPostings per routed shard per query).
+    */
+  private[graft] lazy val sharedHadoopConf =
+    new org.apache.hadoop.conf.Configuration()
 
   private[graft] def shardDlPages(dir: String, shard: Int): Array[Array[Int]] = {
     if (dlCache.size > MaxCachedShards) dlCache.clear()
@@ -363,7 +387,7 @@ object SegmentIO {
     import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
     import org.apache.parquet.io.api.Binary
     if (terms.isEmpty) return Array.empty
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = sharedHadoopConf
     val p = new org.apache.hadoop.fs.Path(s"${postingsPath(dir)}/shard=$shard")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Array.empty

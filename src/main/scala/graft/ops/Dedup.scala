@@ -145,16 +145,27 @@ object Dedup {
     * (id, sh) rows. Candidate pairs may repeat (LSH multi-band
     * collisions): they dedup here, before the explode.
     */
-  def verifyJaccard(sh: DataFrame, pairs: DataFrame, sizes: DataFrame): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b")).distinct()
+  def verifyJaccard(sh: DataFrame, pairs: DataFrame, sizes: DataFrame): DataFrame =
+    jaccardForSizedPairs(sh,
+      pairs.select(col("id_a"), col("id_b")).distinct()
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b"))
+
+  /** The ONE pair-local exact-Jaccard core (see [[verifyJaccard]] for
+    * the fan-out rationale): distinct (id_a, id_b, sz_a, sz_b) pairs →
+    * explode the left doc's shingles → semi-join shared ones on
+    * (id_b, sh) → count → |A∩B| / (|A| + |B| - |A∩B|). Both verify
+    * entry points (pairs + separate sizes, and minhash's pairs with
+    * sizes riding along) funnel here so the correctness-critical
+    * distinct placement and intersection shape exist exactly once.
+    * `p` must already be distinct per (id_a, id_b).
+    */
+  private def jaccardForSizedPairs(sh: DataFrame, p: DataFrame): DataFrame = {
     val aSh = p.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-    val inter = aSh
+    aSh
       .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"), "left_semi")
-      .groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
           .as("jaccard"))
@@ -179,15 +190,8 @@ object Dedup {
     val sig = minhashSignatures(sh, numHashes)
     // sizes ride the candidate pairs (one signature computation total);
     // multi-band duplicate pairs dedup here, before the verify explode
-    val p = lshCandidatesWithSizes(sig, numHashes, bands).distinct()
-    val aSh = p.join(sh.withColumnRenamed("id", "id_a"), "id_a")
-    aSh
-      .join(sh.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"), "left_semi")
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-          .as("jaccard"))
+    jaccardForSizedPairs(sh,
+      lshCandidatesWithSizes(sig, numHashes, bands).distinct())
       .filter(col("jaccard") >= tau)
   }
 

@@ -1,10 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.query.{Bm25, OracleEngine}
-import graft.tokenize.Tokenizer
+import graft.query.OracleEngine
 
 /** Hybrid keyword + semantic retrieval — the reference's own stated
   * roadmap item (`SEMANTIC_SEARCH_IMPROVEMENTS.md`: combine BM25
@@ -27,44 +26,16 @@ import graft.tokenize.Tokenizer
 object Hybrid {
 
   /** Exhaustive BM25 scores over an arbitrary (id, text) relation —
-    * [[OracleEngine.scoreAll]] generalized to a single id column (that
-    * one is keyed (conv_id, turn_idx) for the transcript corpus).
-    * Same tokenizer, same Bm25 constants, same lexicographic
-    * per-term fold, so scores are engine-portable bit-for-bit.
+    * a thin wrapper over [[OracleEngine.scoreAllKeyed]] (the ONE copy
+    * of the bit-exactness-critical BM25 pipeline; the transcript
+    * corpus calls it keyed (conv_id, turn_idx), this one by id).
     */
   def bm25ScoreAll(
-      docs: DataFrame, id: Column, text: Column, queryText: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qTerms = Tokenizer.tokenize(queryText).distinct.sorted.toSeq
-    if (qTerms.isEmpty)
-      return spark.emptyDataset[(Long, Double)].toDF("id", "score")
-
-    val toks = docs.select(id.as("id"), Tokenizer.tokensCol(text).as("tk"))
-      .withColumn("dl", size($"tk"))
-    val statRow = toks.agg(count(lit(1)), sum($"dl")).collect()(0)
-    val n = statRow.getLong(0)
-    val totalTokens = if (statRow.isNullAt(1)) 0L else statRow.getLong(1)
-    val avgdl = if (n == 0) 0.0 else totalTokens.toDouble / n
-
-    val tf = toks
-      .select($"id", $"dl", explode($"tk").as("term"))
-      .groupBy($"id", $"dl", $"term")
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .filter($"term".isin(qTerms: _*))
-    val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfT), "term")
-      .withColumn("contrib",
-        OracleEngine.idfCol(n, $"df") *
-          ($"tf" * lit(Bm25.K1 + 1.0) /
-            ($"tf" + lit(Bm25.K1) *
-              (lit(1.0 - Bm25.B) + lit(Bm25.B) * $"dl" / lit(avgdl)))))
-      .groupBy($"id")
-      .agg(aggregate(
-        array_sort(collect_list(struct($"term", $"contrib"))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("contrib")).as("score"))
-  }
+      docs: DataFrame, id: Column, text: Column, queryText: String): DataFrame =
+    OracleEngine.scoreAllKeyed(
+      docs.select(id.as("id"), text.as("doc_text")),
+      Seq("id"), col("doc_text"), queryText)
+      .select(col("id"), col("score"))
 
   /** @param docs   (id, text) corpus for the keyword side
     * @param emb    (id, vec) corpus for the semantic side

@@ -48,16 +48,41 @@ object OracleEngine {
       queryText: String,
       conjunctive: Boolean = false,
       minScore: Double = 0.0,
+      statsKey: Option[String] = None): DataFrame =
+    scoreAllKeyed(
+      turns.select(col("conv_id"), col("turn_idx"), col("text")),
+      Seq("conv_id", "turn_idx"), col("text"),
+      queryText, conjunctive, minScore, statsKey)
+
+  /** [[scoreAll]] over ANY (key..., text) relation — the transcript
+    * corpus is keyed (conv_id, turn_idx), the documents table by
+    * doc_id (Hybrid's keyword side). ONE copy of the
+    * bit-exactness-critical BM25 pipeline (tokenize → tf/df → idf →
+    * lexicographic fold) serves every caller; key column names must
+    * not collide with {tk, dl, term, tf, df, contrib, score,
+    * n_match}.
+    *
+    * @return key columns + (score, n_match), unordered
+    */
+  def scoreAllKeyed(
+      docs: DataFrame,
+      keys: Seq[String],
+      text: Column,
+      queryText: String,
+      conjunctive: Boolean = false,
+      minScore: Double = 0.0,
       statsKey: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val qTerms = Tokenizer.tokenize(queryText).distinct.sorted.toSeq
+    val keyCols = keys.map(col)
     if (qTerms.isEmpty)
-      return spark.emptyDataset[(String, Int, Double, Long)]
-        .toDF("conv_id", "turn_idx", "score", "n_match")
+      return docs
+        .select(keyCols :+ lit(0.0).as("score") :+ lit(0L).as("n_match"): _*)
+        .limit(0)
 
-    val toks = turns
-      .select($"conv_id", $"turn_idx", Tokenizer.tokensCol($"text").as("tokens"))
-      .withColumn("dl", size($"tokens"))
+    val toks = docs.select(keyCols :+ Tokenizer.tokensCol(text).as("tk"): _*)
+      .withColumn("dl", size($"tk"))
 
     def computeStats(): (Long, Double) = {
       val statRow = toks.agg(count(lit(1)), sum($"dl")).collect()(0)
@@ -71,8 +96,8 @@ object OracleEngine {
     }
 
     val tf = toks
-      .select($"conv_id", $"turn_idx", $"dl", explode($"tokens").as("term"))
-      .groupBy($"conv_id", $"turn_idx", $"dl", $"term")
+      .select(keyCols :+ $"dl" :+ explode($"tk").as("term"): _*)
+      .groupBy(keyCols :+ $"dl" :+ $"term": _*)
       .agg(count(lit(1)).cast("int").as("tf"))
       .filter($"term".isin(qTerms: _*))
 
@@ -87,7 +112,7 @@ object OracleEngine {
               (lit(1.0 - Bm25.B) + lit(Bm25.B) * $"dl" / lit(avgdl)))))
 
     val scored = contrib
-      .groupBy($"conv_id", $"turn_idx")
+      .groupBy(keyCols: _*)
       .agg(
         aggregate(
           array_sort(collect_list(struct($"term", $"contrib"))),

@@ -42,10 +42,17 @@ class EngineParitySpec extends SparkSpec {
     IndexBuilder.build(spark, all.filter(col("conv_id") < "c00000200").as[graft.model.Turn],
       dir, IndexBuilder.Config(blockSize = 16, numPartitions = 8,
         docsPerShard = Some(500), normsPageSize = 128))
+    // open the engine BEFORE the append and query it once, so its
+    // stats snapshot + dictionary cache (idf, score bounds, shard
+    // routing lists) are populated against the pre-append segment —
+    // the append below must invalidate them (generation bump), or the
+    // live engine would keep stale avgdl/df and never route to the
+    // appended shards
+    val appended = new SearchEngine(spark, dir)
+    appended.retrieve(QuerySet.referenceQueries.head.text, 10).collect()
     IndexBuilder.appendBuild(spark,
       all.filter(col("conv_id") >= "c00000200").as[graft.model.Turn], dir,
       numPartitions = 8)
-    val appended = new SearchEngine(spark, dir)
     for (q <- QuerySet.referenceQueries.take(10)) {
       val expected = LocalOracle
         .topK(oracle, q.text, q.k, q.conjunctive, q.minScore)

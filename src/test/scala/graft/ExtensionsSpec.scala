@@ -70,6 +70,19 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     sqlRow.foreach(b => assert(b >= 0L && b < (1L << 6)))
   }
 
+  test("cosine_sim pins inputs to array<float>: double arrays cast, never read as raw floats") {
+    // the kernel reads 4-byte floats positionally; before inputTypes
+    // were declared, an array<double> passed analysis unchanged and
+    // the kernel read garbage half-words under codegen. With
+    // ImplicitCastInputTypes the analyzer now inserts an explicit
+    // array<double> → array<float> cast, so the value is correct.
+    val r = ext.sql(
+      """SELECT cosine_sim(cast(array(1.0, 2.0, 2.0) as array<double>),
+        |                  cast(array(2.0, 4.0, 4.0) as array<double>)) AS c""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
   test("lsh_buckets rejects a non-literal shape argument") {
     val e = intercept[Exception] {
       ext.sql("SELECT lsh_buckets(cast(array(1.0) as array<float>), 1, 1, id) FROM range(1)").collect()
