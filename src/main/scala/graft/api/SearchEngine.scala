@@ -136,9 +136,13 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
       else present.flatMap(t => termMeta(t)._3).distinct.sorted
     if (routed.isEmpty) return empty
 
-    val hitsRdd = spark.sparkContext
-      .parallelize(routed.toIndexedSeq, routed.length)
-      .flatMap { shard =>
+    // spark.range with one partition per routed shard keeps the
+    // fan-out inside the Dataset API (no RDD): partition i's single
+    // row indexes into the routed-shard array
+    val routedLocal = routed
+    val hits = spark.range(0, routed.length, 1, routed.length)
+      .flatMap { i =>
+        val shard = routedLocal(i.toInt)
         val blocks = SegmentIO.readShardPostings(dirLocal, shard, presentLocal)
         // two-level dl lookup: page = (doc - shardBase) / pageSize,
         // then in-page offset — no array or row ever scales with
@@ -173,7 +177,7 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
       }
 
     // distributed top-k merge: per-shard heaps → TakeOrderedAndProject
-    hitsRdd.toDF("doc_id", "score")
+    hits.toDF("doc_id", "score")
       .orderBy(desc("score"), asc("doc_id")).limit(kLocal)
   }
 
