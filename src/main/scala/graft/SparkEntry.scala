@@ -289,7 +289,10 @@ object SparkEntry {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Hybrid.hybridTopK(docs, col("doc_id"), col("text"),
         emb, col("vec_id"), col("embedding"),
-        "spark window vector merge", probeId = 7L, alpha = 0.6, n = 50, k = 20)
+        "spark window vector merge", probeId = 7L, alpha = 0.6, n = 50, k = 20,
+        // documents-table stats, keyed apart from the transcripts
+        // corpus (both are per-dir in this process)
+        statsKey = Some(s"$dir#documents"))
         .select(col("id").as("doc_id"),
           round(col("bm25_norm"), 6).as("bm25_norm"),
           round(col("cos_norm"), 6).as("cos_norm"),

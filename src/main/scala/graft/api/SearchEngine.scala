@@ -70,20 +70,32 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
   private def termMetaFor(terms: Array[String]): Map[String, (Double, Double, Seq[Int])] = {
     ensureFresh() // MUST lead: a fully-cached term set would otherwise
     // never consult `stats` and serve stale entries across a mutation
-    val missing = terms.filterNot(dictCache.containsKey)
-    if (missing.nonEmpty) {
-      if (dictCache.size > MaxCachedTerms) dictCache.clear()
-      // term-IN predicate pushes into the (term-sorted) parquet scan
-      val found = SegmentIO.readDict(spark, indexDir)
-        .filter($"term".isin(missing.toSeq: _*)).collect()
-        .map { d =>
-          val idf = Bm25.idf(stats.numDocs, d.df)
-          d.term ->
-            (idf, Bm25.boundScore(idf, d.max_tf, d.min_dl, stats.avgdl), d.shards)
-        }.toMap
-      missing.foreach(t => dictCache.put(t, found.get(t)))
-    }
-    terms.flatMap(t => dictCache.get(t).map(t -> _)).toMap
+    //
+    // snapshot-then-merge: the return value is assembled from LOCAL
+    // maps only, never re-read from the shared cache — a whole-cache
+    // eviction below (or a concurrent generation clear) between the
+    // snapshot and the return would otherwise null out entries for
+    // terms that were present a moment ago
+    val snap: Map[String, Option[(Double, Double, Seq[Int])]] =
+      terms.flatMap(t => Option(dictCache.get(t)).map(t -> _)).toMap
+    val missing = terms.filterNot(snap.contains)
+    val fetched: Map[String, Option[(Double, Double, Seq[Int])]] =
+      if (missing.isEmpty) Map.empty
+      else {
+        if (dictCache.size > MaxCachedTerms) dictCache.clear()
+        // term-IN predicate pushes into the (term-sorted) parquet scan
+        val found = SegmentIO.readDict(spark, indexDir)
+          .filter($"term".isin(missing.toSeq: _*)).collect()
+          .map { d =>
+            val idf = Bm25.idf(stats.numDocs, d.df)
+            d.term ->
+              (idf, Bm25.boundScore(idf, d.max_tf, d.min_dl, stats.avgdl), d.shards)
+          }.toMap
+        val entries = missing.map(t => t -> found.get(t)).toMap
+        entries.foreach { case (t, v) => dictCache.put(t, v) }
+        entries
+      }
+    (snap ++ fetched).collect { case (t, Some(v)) => t -> v }
   }
 
   /** Retrieval core: BM25 top-k as (doc_id, score) — exact scores,

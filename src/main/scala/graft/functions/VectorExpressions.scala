@@ -27,15 +27,32 @@ case class CosineSim(left: Expression, right: Expression)
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null even for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorMath.cosine(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  // null-element or length-mismatched inputs yield NULL, matching the
+  // former aggregate/zip_with formulation (zip_with pads the shorter
+  // side with nulls → null sum) and DuckDB's list arithmetic — the
+  // kernels themselves would read null slots as 0.0f
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (aa.numElements() != bb.numElements() ||
+      VectorMath.hasNullElement(aa) || VectorMath.hasNullElement(bb)) null
+    else VectorMath.cosine(aa, bb)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorMath.cosine($a, $b);")
+      s"""
+         |if ($a.numElements() != $b.numElements() ||
+         |    graft.functions.VectorMath.hasNullElement($a) ||
+         |    graft.functions.VectorMath.hasNullElement($b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorMath.cosine($a, $b);
+         |}
+         |""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
@@ -51,14 +68,26 @@ case class LshBuckets(child: Expression, dim: Int, tables: Int, planes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_buckets"
 
-  override def nullSafeEval(v: Any): Any =
-    VectorMath.lshBuckets(
-      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      dim, tables, planes)
+  // a vector with null elements or fewer than `dim` components cannot
+  // be bucketed faithfully (the kernel would read null/missing slots
+  // as 0.0f and emit real-looking partial-projection buckets) → NULL
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val vv = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (vv.numElements() < dim || VectorMath.hasNullElement(vv)) null
+    else VectorMath.lshBuckets(vv, dim, tables, planes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.VectorMath.lshBuckets($v, $dim, $tables, $planes);")
+      s"""
+         |if ($v.numElements() < $dim ||
+         |    graft.functions.VectorMath.hasNullElement($v)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorMath.lshBuckets($v, $dim, $tables, $planes);
+         |}
+         |""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): LshBuckets =
     copy(child = newChild)

@@ -18,6 +18,20 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 class VectorMath
 object VectorMath {
 
+  /** True if any element slot is null. The HOF formulations these
+    * kernels replaced (and the DuckDB oracle's list arithmetic)
+    * propagate a null ELEMENT to a null result; `getFloat` on a null
+    * slot would instead read 0.0f and produce a concrete wrong
+    * number, so the expressions null out such rows before calling the
+    * kernels (see [[VectorExpressions]]).
+    */
+  def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** Σ a[i]*b[i] over float arrays, promoted to double, sequential
     * left-to-right fold (same order as `functions.aggregate`).
     */

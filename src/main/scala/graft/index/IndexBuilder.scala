@@ -462,6 +462,10 @@ object IndexBuilder {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
 
+    // heal a crash inside a PRIOR compaction's rename swap first —
+    // without this, readStats below would throw FileNotFound with the
+    // complete new index stranded at dir+".compacting"
+    recoverCompactSwap(dir)
     val stats0 = readStats(dir)
     // torn-append detection + recovery: a crash between the first
     // mutation and the snapshot commit leaves the marker in place;
@@ -752,10 +756,45 @@ object IndexBuilder {
     st
   }
 
+  /** Heal a crash inside [[compactWith]]'s two-rename swap window
+    * (auto-entered by routine out-of-order appends, so it must be as
+    * crash-safe as the marker-protected append itself). `snapshot.json`
+    * is the completeness predicate — build() writes it last:
+    *  - live dir missing + COMPLETE index at `.compacting` (crash
+    *    between the renames) → finish the swap;
+    *  - live dir missing + complete index at `.old` (unreachable by
+    *    the protocol's ordering, handled defensively) → restore it;
+    *  - live dir present → any `.old` / `.compacting` leftovers are
+    *    debris from a crash after the swap (or before it — the
+    *    compaction then simply re-runs) and are deleted.
+    */
+  private def recoverCompactSwap(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val live = Paths.get(dir)
+    val tmp = Paths.get(dir + ".compacting")
+    val old = Paths.get(dir + ".old")
+    if (!Files.exists(live)) {
+      if (Files.exists(tmp.resolve("snapshot.json"))) Files.move(tmp, live)
+      else if (Files.exists(old.resolve("snapshot.json"))) Files.move(old, live)
+    }
+    if (Files.exists(live)) {
+      deleteRecursively(old)
+      deleteRecursively(tmp)
+    }
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    // NOFOLLOW: a symlink to a directory is deleted as a link, never
+    // descended into; the listing stream is closed eagerly (Files.list
+    // holds an open directory FD — recovery walks hundreds of dirs)
+    if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = java.nio.file.Files.list(p)
+      val children =
+        try s.iterator().asScala.toSeq
+        finally s.close()
+      children.foreach(deleteRecursively)
+    }
     java.nio.file.Files.deleteIfExists(p)
   }
 

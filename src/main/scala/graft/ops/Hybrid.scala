@@ -31,10 +31,11 @@ object Hybrid {
     * corpus calls it keyed (conv_id, turn_idx), this one by id).
     */
   def bm25ScoreAll(
-      docs: DataFrame, id: Column, text: Column, queryText: String): DataFrame =
+      docs: DataFrame, id: Column, text: Column, queryText: String,
+      statsKey: Option[String] = None): DataFrame =
     OracleEngine.scoreAllKeyed(
       docs.select(id.as("id"), text.as("doc_text")),
-      Seq("id"), col("doc_text"), queryText)
+      Seq("id"), col("doc_text"), queryText, statsKey = statsKey)
       .select(col("id"), col("score"))
 
   /** @param docs   (id, text) corpus for the keyword side
@@ -46,7 +47,8 @@ object Hybrid {
       docs: DataFrame, id: Column, text: Column,
       emb: DataFrame, embId: Column, vec: Column,
       queryText: String, probeId: Long,
-      alpha: Double, n: Int, k: Int): DataFrame = {
+      alpha: Double, n: Int, k: Int,
+      statsKey: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -54,7 +56,7 @@ object Hybrid {
     // the fusion node's input in any serving topology), then fuse as
     // local relations: no corpus recompute per fusion-side reference
     val bmRows: Array[(Long, Double)] =
-      bm25ScoreAll(docs, id, text, queryText)
+      bm25ScoreAll(docs, id, text, queryText, statsKey)
         .orderBy(desc("score"), asc("id")).limit(n)
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
     val probe = emb.filter(embId === probeId).select(vec.as("pvec"))

@@ -177,6 +177,33 @@ class IndexSpec extends SparkSpec {
     assert(!SegmentIO.appendInProgress(dir))
   }
 
+  test("compaction swap crash heals: complete .compacting promotes on next append") {
+    import spark.implicits._
+    val all = TranscriptGen.corpus(spark, NumConvs)
+    val cfgFixed = IndexBuilder.Config(blockSize = 8, numPartitions = 8,
+      docsPerShard = Some(300), normsPageSize = 64)
+    val base = tempDir("graft-idx-swapcrash")
+    val dir = s"$base/idx"
+    // simulate the crash window between compactWith's two renames:
+    // live dir gone, the COMPLETE compacted index stranded at
+    // `.compacting`, the pre-compaction index stranded at `.old`
+    IndexBuilder.build(spark, all, dir + ".compacting", cfgFixed)
+    IndexBuilder.build(spark,
+      all.filter($"conv_id" < "c00000080").as[graft.model.Turn],
+      dir + ".old", cfgFixed)
+    // next append entry must finish the swap (else readStats throws
+    // FileNotFound with the new index stranded), then no-op on an
+    // empty delta
+    val st = IndexBuilder.appendBuild(spark,
+      all.limit(0).as[graft.model.Turn], dir, numPartitions = 8)
+    val fullDir = tempDir("graft-idx-swapcrash-full")
+    IndexBuilder.build(spark, all, fullDir, cfgFixed)
+    assert(st == SegmentIO.readStats(fullDir))
+    assert(postingsContent(dir) == postingsContent(fullDir))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".old")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".compacting")))
+  }
+
   test("append at an exact shard boundary (no partial shard to re-encode)") {
     import spark.implicits._
     val all = TranscriptGen.corpus(spark, NumConvs)
