@@ -177,6 +177,30 @@ class IndexSpec extends SparkSpec {
     assert(!SegmentIO.appendInProgress(dir))
   }
 
+  test("chained appends: build + append + append is content-identical to one full build") {
+    import spark.implicits._
+    val all = TranscriptGen.corpus(spark, NumConvs)
+    val cfgFixed = IndexBuilder.Config(blockSize = 8, numPartitions = 8,
+      docsPerShard = Some(300), normsPageSize = 64)
+    val chainDir = tempDir("graft-idx-chain")
+    // three ascending slices — each append crosses different shard
+    // boundaries, and the second append runs against an index the
+    // first append (not a fresh build) produced
+    IndexBuilder.build(spark,
+      all.filter($"conv_id" < "c00000040").as[graft.model.Turn], chainDir, cfgFixed)
+    IndexBuilder.appendBuild(spark,
+      all.filter($"conv_id" >= "c00000040" && $"conv_id" < "c00000090")
+        .as[graft.model.Turn], chainDir, numPartitions = 8)
+    val st = IndexBuilder.appendBuild(spark,
+      all.filter($"conv_id" >= "c00000090").as[graft.model.Turn],
+      chainDir, numPartitions = 8)
+    val fullDir = tempDir("graft-idx-chain-full")
+    IndexBuilder.build(spark, all, fullDir, cfgFixed)
+    assert(st == SegmentIO.readStats(fullDir))
+    assert(postingsContent(chainDir) == postingsContent(fullDir),
+      "two chained appends must equal one full build")
+  }
+
   test("compaction swap crash heals: complete .compacting promotes on next append") {
     import spark.implicits._
     val all = TranscriptGen.corpus(spark, NumConvs)

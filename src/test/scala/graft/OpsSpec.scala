@@ -251,6 +251,39 @@ class OpsSpec extends SparkSpec {
     assert(out.contains(9L) && out(9L)._1 == 0.0)
   }
 
+  test("hybrid fusion edge cases: empty keyword side, degenerate one-element lists") {
+    import spark.implicits._
+    import graft.ops.Hybrid
+    val docs = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
+    def vec(i: Int): Seq[Float] =
+      (0 until 4).map(d => ((i * 13 + d * 7) % 11 - 5).toFloat / 6f)
+    val emb = Seq((0L, vec(0)), (1L, vec(1)), (7L, vec(0).map(_ * 2f)))
+      .toDF("vec_id", "embedding")
+
+    // no query term matches any doc → keyword list empty → results are
+    // vector-only, bm25_norm exactly 0, fused = (1-alpha) * cos_norm
+    val vOnly = Hybrid.hybridTopK(docs, col("doc_id"), col("text"),
+      emb, col("vec_id"), col("embedding"),
+      "zzznotaterm", probeId = 7L, alpha = 0.6, n = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(vOnly.nonEmpty)
+    vOnly.foreach { case (_, b, c, f) =>
+      assert(b == 0.0 && math.abs(f - 0.4 * c) < 1e-12)
+    }
+    // id 0 is colinear with the probe → cosine side normalizes it to 1
+    assert(vOnly.find(_._1 == 0L).get._3 == 1.0)
+
+    // a one-element list has max == min → that side normalizes to 1.0
+    // (the max>min guard), never NaN from a 0/0 division
+    val oneHit = Hybrid.hybridTopK(docs, col("doc_id"), col("text"),
+      emb, col("vec_id"), col("embedding"),
+      "alpha", probeId = 7L, alpha = 0.6, n = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3)))
+    val kwHit = oneHit.find(_._1 == 0L).get
+    assert(kwHit._2 == 1.0 && !kwHit._3.isNaN)
+    assert(oneHit.forall(t => !t._3.isNaN))
+  }
+
   test("language ID on real sentences") {
     assert(TextOps.langId("the quick brown fox is in the garden with a dog") == "en")
     assert(TextOps.langId("der hund ist nicht mit der katze und das haus") == "de")
