@@ -84,6 +84,42 @@ object Multimodal {
     }
   }
 
+  /** Resize an image payload — nearest-neighbor over the byte grid
+    * (bytes treated as a width×height single-channel raster). The
+    * resampling KERNEL is the stub half (a real deployment swaps in a
+    * codec-backed resampler); the plumbing — iterator-to-iterator
+    * mapPartitions, dims updated in the typed row, non-image rows
+    * passed through untouched — is the production shape, like
+    * [[extractFeatures]]. Deterministic in (bytes, dims).
+    */
+  def resize(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      newW: Int,
+      newH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.modality != "image" || r.width <= 0 || r.height <= 0) r
+        else {
+          val out = new Array[Byte](newW * newH)
+          var y = 0
+          while (y < newH) {
+            val sy = y * r.height / newH
+            var x = 0
+            while (x < newW) {
+              val idx = sy * r.width + x * r.width / newW
+              out(y * newW + x) = if (idx < r.bytes.length) r.bytes(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          r.copy(bytes = out, width = newW, height = newH)
+        }
+      }
+    }
+  }
+
   /** Synthesize a media table from any (id, text) source: text bytes
     * as the opaque payload, modality cycled by id — lets the plumbing
     * run against the driver-provided tables with zero external data.

@@ -337,4 +337,26 @@ class OpsSpec extends SparkSpec {
     assert(feats(2).frames_sampled == 2) // 2500/1000
     assert(feats.forall(_.feature.length == 8))
   }
+
+  test("multimodal resize: dims/bytes updated, deterministic, non-image passthrough") {
+    import spark.implicits._
+    // 4x4 gradient raster: pixel(y, x) = y*4 + x
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", Array.tabulate[Byte](16)(_.toByte), 4, 4, 0),
+      Multimodal.MediaRow(1L, "audio", Array.fill[Byte](32)(5), 0, 0, 1000))
+      .toDS()
+    val out = Multimodal.resize(spark, media, newW = 2, newH = 2)
+      .collect().sortBy(_.media_id)
+    // nearest-neighbor 4x4 -> 2x2 samples pixels (0,0),(0,2),(2,0),(2,2)
+    assert(out(0).width == 2 && out(0).height == 2)
+    assert(out(0).bytes.toSeq == Seq[Byte](0, 2, 8, 10))
+    // audio rows pass through untouched
+    assert(out(1).width == 0 && out(1).bytes.length == 32)
+    // deterministic: second run bit-identical
+    val again = Multimodal.resize(spark, media, 2, 2).collect().sortBy(_.media_id)
+    assert(again(0).bytes.toSeq == out(0).bytes.toSeq)
+    // identity resize preserves the raster
+    val id4 = Multimodal.resize(spark, media, 4, 4).collect().sortBy(_.media_id)
+    assert(id4(0).bytes.toSeq == (0 until 16).map(_.toByte))
+  }
 }
