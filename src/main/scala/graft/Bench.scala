@@ -208,12 +208,25 @@ object Bench {
     catch { case _: Throwable => () } // per-query timing catches repeat failures
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must surface as an ERROR in the JSON, never as a
+      // (suspiciously fast) timing — correctness is the driver gate's
+      // job, but the bench self-report must not flatter a broken build
+      val err = try { fn(spark, sfDir).count(); None }
+      catch {
+        case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(120)
+            .map(c => if (c == '"' || c == '\\' || c < ' ') ' ' else c))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qJson = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
+    val qJson = results.map {
+      case (k, v, None) => "\"" + k + f"""":$v%.3f"""
+      case (k, v, Some(m)) =>
+        "\"" + k + f"""":{"sec":$v%.3f,"err":"$m"}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val nErrs = results.count(_._3.nonEmpty)
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
@@ -221,7 +234,7 @@ object Bench {
         f""""bench_corpus_turns":${nN},""" +
         f""""p50_query_ms":$p50%.2f,"p95_query_ms":$p95%.2f,""" +
         f""""spark_p50_query_ms":$dp50%.2f,"spark_p95_query_ms":$dp95%.2f,""" +
-        f""""query_set_size":${qs.size},""" +
+        f""""query_set_size":${qs.size},"query_errors":$nErrs,""" +
         f""""scaling":{"cores_low":$coresLow,"cores_high":$coresHigh,""" +
         f""""turns_per_sec_low":$thruLow%.0f,"turns_per_sec_high":$thruHigh%.0f,""" +
         f""""efficiency":$scalingEff%.3f}}""")

@@ -70,6 +70,7 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
   private def termMetaFor(terms: Array[String]): Map[String, (Double, Double, Seq[Int])] = {
     ensureFresh() // MUST lead: a fully-cached term set would otherwise
     // never consult `stats` and serve stale entries across a mutation
+    val fetchGen = gen // generation the fetch below is valid under
     //
     // snapshot-then-merge: the return value is assembled from LOCAL
     // maps only, never re-read from the shared cache — a whole-cache
@@ -92,7 +93,14 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
               (idf, Bm25.boundScore(idf, d.max_tf, d.min_dl, stats.avgdl), d.shards)
           }.toMap
         val entries = missing.map(t => t -> found.get(t)).toMap
-        entries.foreach { case (t, v) => dictCache.put(t, v) }
+        // stale-reinsert guard: a mutation (append/compaction) may have
+        // advanced the segment generation AFTER ensureFresh cleared the
+        // cache and BEFORE this fetch completed — inserting then would
+        // pin pre-mutation idf/bound/routing values past the clear.
+        // The entries still serve THIS query (computed under fetchGen's
+        // consistent snapshot); they just must not outlive it.
+        if (SegmentIO.generation(indexDir) == fetchGen)
+          entries.foreach { case (t, v) => dictCache.put(t, v) }
         entries
       }
     (snap ++ fetched).collect { case (t, Some(v)) => t -> v }

@@ -103,7 +103,9 @@ object Dedup {
     * twice. A bucket-keyed self-join put each bucket's pairs in one
     * task anyway, so the fan-out profile is unchanged.
     */
-  def lshCandidatesWithSizes(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def lshCandidatesWithSizes(
+      sig: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { bIdx =>
       struct(lit(bIdx).as("band"),
@@ -111,12 +113,18 @@ object Dedup {
           (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"mh$i").cast("string")): _*))
           .as("bucket"))
     }
+    // maxBucketSize bounds both the aggregation buffer's worst row and
+    // the per-bucket pair explode (m² in bucket size): a degenerate
+    // corpus where thousands of docs share a band signature otherwise
+    // materializes the whole bucket in one buffer. Same knob as
+    // Similarity.lshCosinePairsMulti; the size filter is free (rides
+    // the aggregated array, no count shuffle).
     sig
       .select(col("id"), col("sz"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("id"), col("sz"))).as("ms"))
-      .filter(size(col("ms")) >= 2)
+      .filter(size(col("ms")).between(2, maxBucketSize))
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a.id") < col("b.id"))
@@ -185,13 +193,14 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 16,
       bands: Int = 4,
-      tau: Double = 0.6): DataFrame = {
+      tau: Double = 0.6,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(df, id, text, shingleSize)
     val sig = minhashSignatures(sh, numHashes)
     // sizes ride the candidate pairs (one signature computation total);
     // multi-band duplicate pairs dedup here, before the verify explode
     jaccardForSizedPairs(sh,
-      lshCandidatesWithSizes(sig, numHashes, bands).distinct())
+      lshCandidatesWithSizes(sig, numHashes, bands, maxBucketSize).distinct())
       .filter(col("jaccard") >= tau)
   }
 

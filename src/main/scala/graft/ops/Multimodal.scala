@@ -97,6 +97,8 @@ object Multimodal {
       media: Dataset[MediaRow],
       newW: Int,
       newH: Int): Dataset[MediaRow] = {
+    require(newW > 0 && newH > 0,
+      s"resize dims must be positive, got ${newW}x$newH")
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
