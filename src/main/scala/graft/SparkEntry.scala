@@ -53,12 +53,75 @@ object SparkEntry {
     engineCache.getOrElseUpdate(sfDir,
       new SearchEngine(spark, indexFor(spark, sfDir)))
 
-  /** Pre-builds the per-sfDir query-index cache (a no-op when it
-    * already exists) so harnesses can keep the one-time build out of
+  /** BM25 segment over the DOCUMENTS table (hybrid fusion's keyword
+    * side) — same builder, same resume-aware on-disk cache as the
+    * transcript index, keyed separately. Internal doc ids map back to
+    * original doc_ids via [[Corpus.docIdFromConv]].
+    */
+  private val docsIdxCache = TrieMap[String, String]()
+  private def docsIndexFor(spark: SparkSession, sfDir: String): String =
+    docsIdxCache.getOrElseUpdate(sfDir, {
+      val dir = s"/tmp/graft-qdidx-v$SegmentFormatVersion-" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes).map("%02x".format(_)).mkString.take(12)
+      IndexBuilder.build(spark, Corpus.documentsAsTurns(spark, sfDir), dir,
+        IndexBuilder.Config(blockSize = 32, numShards = 4, numPartitions = 4,
+          postingsGroups = 1))
+      dir
+    })
+  private val docsEngineCache = TrieMap[String, SearchEngine]()
+  private def docsEngine(spark: SparkSession, sfDir: String): SearchEngine =
+    docsEngineCache.getOrElseUpdate(sfDir,
+      new SearchEngine(spark, docsIndexFor(spark, sfDir)))
+
+  /** Index-backed BM25 top-N over documents as (orig doc_id, exact
+    * score) rows: routed WAND retrieve (rank-and-score-identical to
+    * the exhaustive oracle — EngineParitySpec + HybridSpec), then the
+    * BOUNDED hit set maps internal→original ids through the segment
+    * docs table (local-relation broadcast join — no corpus-sized scan
+    * anywhere in the per-query plan).
+    */
+  private def docsBm25TopN(
+      spark: SparkSession, sfDir: String, queryText: String, n: Int): Array[(Long, Double)] = {
+    val hits = docsEngine(spark, sfDir).retrieve(queryText, n)
+    SegmentIO.readDocs(spark, docsIndexFor(spark, sfDir))
+      .join(broadcast(hits), "doc_id")
+      .select(Corpus.docIdFromConv(col("conv_id")).as("id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, sc) => (-sc, id) }
+  }
+
+  /** Persisted IVF ANN index over the embeddings table (q_ann_ivf's
+    * serving side + hybrid's semantic retriever): inverted lists
+    * partitioned by cid + centroid table, built once per sfDir. The
+    * centroids table is written LAST — its _SUCCESS marker doubles as
+    * the whole index's completeness predicate across process restarts.
+    */
+  private val IvfStride = 25L
+  private val ivfCache = TrieMap[String, String]()
+  private def ivfFor(spark: SparkSession, sfDir: String): String =
+    ivfCache.getOrElseUpdate(sfDir, {
+      val dir = s"/tmp/graft-qivf-v1-" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes).map("%02x".format(_)).mkString.take(12)
+      if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists) {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        Similarity.ivfWrite(emb, col("vec_id"), col("embedding"), IvfStride, dir)
+      }
+      dir
+    })
+
+  /** Pre-builds the per-sfDir query-side indexes (transcript BM25
+    * segment, documents BM25 segment, persisted IVF) — all no-ops when
+    * already on disk — so harnesses keep the one-time builds out of
     * per-query timings.
     */
-  def warmQueryIndex(spark: SparkSession, sfDir: String): Unit =
+  def warmQueryIndex(spark: SparkSession, sfDir: String): Unit = {
     indexFor(spark, sfDir)
+    docsIndexFor(spark, sfDir)
+    ivfFor(spark, sfDir)
+    ()
+  }
 
   /** Engine hits (doc_id, score) → canonical (conv_id, turn_idx,
     * score rounded 4 dp) via the docs-table metadata join.
@@ -283,31 +346,57 @@ object SparkEntry {
     }),
     // hybrid keyword+semantic fusion (the reference's roadmap item):
     // BM25 top-N and cosine top-N lists full-outer joined, min-max
-    // normalized per side, fused = alpha*bm25 + (1-alpha)*cos
+    // normalized per side, fused = alpha*bm25 + (1-alpha)*cos.
+    // Keyword side = the routed WAND index over documents
+    // (rank-and-score-identical to the exhaustive oracle the DuckDB
+    // twin replays — HybridSpec asserts the swap bit-exactly); the
+    // per-query plan touches only routed posting shards + the bounded
+    // top lists, never a corpus-sized tokenize+score
     "q_hybrid_fusion" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Hybrid.hybridTopK(docs, col("doc_id"), col("text"),
-        emb, col("vec_id"), col("embedding"),
-        "spark window vector merge", probeId = 7L, alpha = 0.6, n = 50, k = 20,
-        // documents-table stats, keyed apart from the transcripts
-        // corpus (both are per-dir in this process)
-        statsKey = Some(s"$dir#documents"))
+      Hybrid.fuse(s,
+        docsBm25TopN(s, dir, "spark window vector merge", n = 50),
+        Hybrid.cosineTopN(emb, col("vec_id"), col("embedding"), probeId = 7L, n = 50),
+        alpha = 0.6, k = 20)
         .select(col("id").as("doc_id"),
           round(col("bm25_norm"), 6).as("bm25_norm"),
           round(col("cos_norm"), 6).as("cos_norm"),
           round(col("fused"), 6).as("fused"))
         .orderBy("doc_id")
     }),
-    // IVF coarse-quantizer ANN: deterministic sampled centroids,
-    // broadcast argmax assignment, probes scan only nProbe inverted
-    // lists (equi-join on cid)
+    // full production serving stack: WAND keyword top-N fused with the
+    // PERSISTED-IVF semantic top-N (nProbe routed inverted lists with
+    // a static cid partition filter — no brute-force corpus sweep on
+    // either side)
+    "q_hybrid_ivf" -> ((s, dir) => {
+      val probes = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") === 7L)
+        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+      val vRows = Similarity.ivfTopKPruned(s, ivfFor(s, dir), probes,
+        nProbe = 4, k = 50)
+        .select(col("id"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, c) => (-c, id) }
+      Hybrid.fuse(s,
+        docsBm25TopN(s, dir, "spark window vector merge", n = 50),
+        vRows, alpha = 0.6, k = 20)
+        .select(col("id").as("doc_id"),
+          round(col("bm25_norm"), 6).as("bm25_norm"),
+          round(col("cos_norm"), 6).as("cos_norm"),
+          round(col("fused"), 6).as("fused"))
+        .orderBy("doc_id")
+    }),
+    // IVF coarse-quantizer ANN over the PERSISTED index (built once
+    // per sfDir like the posting segment): probes route to nProbe
+    // inverted lists via a static cid IN (...) partition filter —
+    // the scan prunes non-probed list directories at planning time.
+    // The assignment sweep (corpus × centroids argmax) was paid at
+    // ivfWrite time, never per query.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val probes = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
-      Similarity.ivfTopK(emb, col("vec_id"), col("embedding"), probes,
-        stride = 25L, nProbe = 4, k = 10)
+      Similarity.ivfTopKPruned(s, ivfFor(s, dir), probes, nProbe = 4, k = 10)
         .select(col("pid"), col("id").as("vec_id"), col("rank"),
           round(col("cos"), 6).as("cos"))
         .orderBy("pid", "rank")
@@ -421,10 +510,15 @@ object SparkEntry {
     }),
     // J4 full: five-stage cascade — citations constructed so each
     // stage is the ONLY one that can resolve its rows: m0 exact PMID,
-    // m1 DOI only, m2 exact title, m3 fuzzy title, m4 author+year
-    // (doc_id%10==4 title-less unique match, %10==9 low-overlap title
-    // that fails the fuzzy stage's inter>=3 floor but passes the
-    // author+year 0.3 overlap)
+    // m1 DOI only, m2 exact title, m3 fuzzy title, m4 author+year.
+    // The author+year rows split three ways: doc_id%10==4 cites a BARE
+    // last name (no " B") — resolvable only through the token-
+    // containment author key, never prefix equality; %20==9
+    // low-overlap title that fails the fuzzy stage's inter>=3 floor
+    // but passes the author+year 0.3 overlap; %20==19 a garbage title
+    // failing BOTH overlap tests — resolves only via the reference's
+    // unique-candidate fallback (which applies even when a title
+    // exists, app.py `if not found and len(rows) == 1`)
     "q_entity_resolution_full" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < 60)
       val m = col("doc_id") % 5
@@ -432,6 +526,7 @@ object SparkEntry {
       val titleExpr =
         when(m === 2, upper(substring(col("text"), 1, 80)))
           .when(m === 3, substring(col("text"), 21, 100))
+          .when(col("doc_id") % 20 === 19, lit("qqaa qqbb qqcc qqdd"))
           .when(col("doc_id") % 10 === 9,
             concat(concat_ws(" ", slice(rawToks, 1, 2)), lit(" zzaa zzbb zzcc zzdd")))
           .otherwise(lit(""))
@@ -442,8 +537,11 @@ object SparkEntry {
       val doiPart = when(m === 1,
         concat(lit(", doi:10.1000/d"), col("doc_id").cast("string")))
         .otherwise(lit(""))
+      val authorPart = when(col("doc_id") % 10 === 4,
+        concat(lit("Author"), col("doc_id").cast("string"), lit(". PMID: ")))
+        .otherwise(concat(lit("Author"), col("doc_id").cast("string"), lit(" B. PMID: ")))
       val cit = docs.select(col("doc_id").as("qid"),
-        concat(lit("Author"), col("doc_id").cast("string"), lit(" B. PMID: "),
+        concat(authorPart,
           pmid, doiPart, quoted, lit(" (2021)")).as("citation"))
       val parsed = cit
         .select(col("qid"), EntityResolution.parseCitation(col("citation")).as("p"))
@@ -831,6 +929,59 @@ object SparkEntry {
 
   private val cosSql = cosExpr("a.embedding", "b.embedding")
 
+  /** Hybrid-fusion oracle skeleton: exhaustive BM25 over `documents`
+    * (top-50 by score desc, doc_id), a caller-supplied semantic-side
+    * CTE chain ending in `vtop(doc_id, cos)` (top-50 by cos desc,
+    * doc_id), per-side min-max normalization, α=0.6 fusion, top-20 by
+    * (fused desc, doc_id). The Spark side serves BM25 from the WAND
+    * index — rank-and-score-identical to this exhaustive replay
+    * (HybridSpec), which is the point of the twin.
+    */
+  private def hybridFusionSql(vtopCtes: String): String = {
+    val terms = Tokenizer.tokenize("spark window vector merge").distinct.sorted.toSeq
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       |              x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}) AS tk
+       |  FROM documents),
+       |d AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
+       |stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*)::INT AS tf
+       |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM d)
+       |  WHERE term IN ${sqlList(terms)}
+       |  GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+       |             (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+       |             ORDER BY tf.term) AS score
+       |  FROM tf JOIN dfreq f USING (term), stats s
+       |  GROUP BY tf.doc_id),
+       |bmtop AS (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 50),
+       |$vtopCtes,
+       |mm AS (SELECT (SELECT min(score) FROM bmtop) AS bmin,
+       |              (SELECT max(score) FROM bmtop) AS bmax,
+       |              (SELECT min(cos) FROM vtop) AS cmin,
+       |              (SELECT max(cos) FROM vtop) AS cmax),
+       |fz AS (
+       |  SELECT doc_id,
+       |         CASE WHEN b.score IS NULL THEN 0.0::DOUBLE
+       |              WHEN m.bmax > m.bmin THEN (b.score - m.bmin) / (m.bmax - m.bmin)
+       |              ELSE 1.0::DOUBLE END AS bm25_norm,
+       |         CASE WHEN v.cos IS NULL THEN 0.0::DOUBLE
+       |              WHEN m.cmax > m.cmin THEN (v.cos - m.cmin) / (m.cmax - m.cmin)
+       |              ELSE 1.0::DOUBLE END AS cos_norm
+       |  FROM bmtop b FULL OUTER JOIN vtop v USING (doc_id), mm m),
+       |res AS (
+       |  SELECT doc_id, bm25_norm, cos_norm,
+       |         0.6::DOUBLE * bm25_norm + 0.4::DOUBLE * cos_norm AS fused
+       |  FROM fz ORDER BY fused DESC, doc_id LIMIT 20)
+       |SELECT doc_id, round(bm25_norm, 6) AS bm25_norm,
+       |       round(cos_norm, 6) AS cos_norm, round(fused, 6) AS fused
+       |FROM res ORDER BY doc_id""".stripMargin
+  }
+
   private def lshBucketSql(dim: Int, planes: Int): String = {
     val bits = (0 until planes).map { j =>
       s"""CASE WHEN list_dot_product(embedding::DOUBLE[],
@@ -1206,7 +1357,9 @@ object SparkEntry {
         s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 60),
            |cit AS (
            |  SELECT doc_id AS qid,
-           |    'Author' || doc_id::VARCHAR || ' B. PMID: ' ||
+           |    'Author' || doc_id::VARCHAR ||
+           |    CASE WHEN doc_id % 10 = 4 THEN '. PMID: '
+           |         ELSE ' B. PMID: ' END ||
            |    CASE WHEN doc_id % 5 = 0 THEN (doc_id + 1000000)::VARCHAR
            |         ELSE '8888888' END ||
            |    CASE WHEN doc_id % 5 = 1
@@ -1215,6 +1368,8 @@ object SparkEntry {
            |           THEN '. "' || upper(substr(text, 1, 80)) || '"'
            |         WHEN doc_id % 5 = 3
            |           THEN '. "' || substr(text, 21, 100) || '"'
+           |         WHEN doc_id % 20 = 19
+           |           THEN '. "qqaa qqbb qqcc qqdd"'
            |         WHEN doc_id % 10 = 9
            |           THEN '. "' || array_to_string((${rawTkOf("text")})[1:2], ' ') ||
            |                ' zzaa zzbb zzcc zzdd"'
@@ -1264,6 +1419,9 @@ object SparkEntry {
            |    FROM ov4 WHERE inter >= 3 AND overlap >= 0.4) WHERE rn = 1),
            |r4 AS (SELECT * FROM r3 WHERE qid NOT IN (SELECT qid FROM s4)),
            |ay AS (
+           |  -- token-boundary containment (every citation-author token
+           |  -- appears in the catalog author) = the twin of the Spark
+           |  -- side's lname-routed equi-join + subset verify
            |  SELECT q.qid, c.cid,
            |         CASE WHEN len(q.tk) > 0
            |              THEN len(list_intersect(q.tk, c.tk))::DOUBLE / len(q.tk)
@@ -1271,7 +1429,9 @@ object SparkEntry {
            |         len(q.tk) AS qsz,
            |         count(*) OVER (PARTITION BY q.qid) AS ncand
            |  FROM r4 q JOIN cat c
-           |    ON q.author_key = c.author_key AND q.year = c.year
+           |    ON q.year = c.year
+           |   AND len(list_filter(str_split(q.author_key, ' '),
+           |         t -> NOT list_contains(str_split(c.author_key, ' '), t))) = 0
            |  WHERE length(q.author_key) > 0 AND length(q.year) > 0
            |    AND length(c.author_key) > 0),
            |s5 AS (
@@ -1279,7 +1439,7 @@ object SparkEntry {
            |    SELECT qid, cid, ov,
            |           row_number() OVER (PARTITION BY qid
            |                              ORDER BY ov DESC, cid) AS rn
-           |    FROM ay WHERE (qsz > 0 AND ov >= 0.3) OR (qsz = 0 AND ncand = 1))
+           |    FROM ay WHERE (qsz > 0 AND ov >= 0.3) OR ncand = 1)
            |  WHERE rn = 1),
            |res AS (
            |  SELECT qid, cid, 'exact_id' AS method, 1.0::DOUBLE AS score FROM s1
@@ -1342,55 +1502,41 @@ object SparkEntry {
       "q_lsh_buckets" ->
         s"""SELECT ${lshBucketSql(64, 8)} AS bucket, count(*) AS n
            |FROM embeddings GROUP BY 1 ORDER BY bucket""".stripMargin,
-      "q_hybrid_fusion" -> {
-        val terms = Tokenizer.tokenize("spark window vector merge").distinct.sorted.toSeq
-        s"""WITH toks AS (
-           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-           |              x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}) AS tk
-           |  FROM documents),
-           |d AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
-           |stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
-           |tf AS (
-           |  SELECT doc_id, dl, term, count(*)::INT AS tf
-           |  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM d)
-           |  WHERE term IN ${sqlList(terms)}
-           |  GROUP BY doc_id, dl, term),
-           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-           |scored AS (
-           |  SELECT tf.doc_id,
-           |         sum(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) *
-           |             (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
-           |             ORDER BY tf.term) AS score
-           |  FROM tf JOIN dfreq f USING (term), stats s
-           |  GROUP BY tf.doc_id),
-           |bmtop AS (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 50),
-           |vtop AS (
+      // both hybrid twins share one fusion skeleton; they differ only
+      // in the semantic-side vtop CTE (brute-force vs IVF-routed)
+      "q_hybrid_fusion" -> hybridFusionSql(
+        s"""vtop AS (
            |  SELECT a.vec_id AS doc_id, ${cosExpr("a.embedding", "p.pvec")} AS cos
            |  FROM embeddings a,
            |       (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 7) p
            |  WHERE a.vec_id <> 7
-           |  ORDER BY cos DESC, doc_id LIMIT 50),
-           |mm AS (SELECT (SELECT min(score) FROM bmtop) AS bmin,
-           |              (SELECT max(score) FROM bmtop) AS bmax,
-           |              (SELECT min(cos) FROM vtop) AS cmin,
-           |              (SELECT max(cos) FROM vtop) AS cmax),
-           |fz AS (
-           |  SELECT doc_id,
-           |         CASE WHEN b.score IS NULL THEN 0.0::DOUBLE
-           |              WHEN m.bmax > m.bmin THEN (b.score - m.bmin) / (m.bmax - m.bmin)
-           |              ELSE 1.0::DOUBLE END AS bm25_norm,
-           |         CASE WHEN v.cos IS NULL THEN 0.0::DOUBLE
-           |              WHEN m.cmax > m.cmin THEN (v.cos - m.cmin) / (m.cmax - m.cmin)
-           |              ELSE 1.0::DOUBLE END AS cos_norm
-           |  FROM bmtop b FULL OUTER JOIN vtop v USING (doc_id), mm m),
-           |res AS (
-           |  SELECT doc_id, bm25_norm, cos_norm,
-           |         0.6::DOUBLE * bm25_norm + 0.4::DOUBLE * cos_norm AS fused
-           |  FROM fz ORDER BY fused DESC, doc_id LIMIT 20)
-           |SELECT doc_id, round(bm25_norm, 6) AS bm25_norm,
-           |       round(cos_norm, 6) AS cos_norm, round(fused, 6) AS fused
-           |FROM res ORDER BY doc_id""".stripMargin
-      },
+           |  ORDER BY cos DESC, doc_id LIMIT 50)""".stripMargin),
+      "q_hybrid_ivf" -> hybridFusionSql(
+        s"""cents AS (
+           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+           |  WHERE vec_id % 25 = 0),
+           |asg AS (
+           |  SELECT id, cid FROM (
+           |    SELECT a.vec_id AS id, c.cid,
+           |           row_number() OVER (PARTITION BY a.vec_id
+           |             ORDER BY ${cosExpr("a.embedding", "c.cvec")} DESC, c.cid) AS rn
+           |    FROM embeddings a CROSS JOIN cents c) WHERE rn = 1),
+           |hprobes AS (
+           |  SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+           |  WHERE vec_id = 7),
+           |hpl AS (
+           |  SELECT pid, cid FROM (
+           |    SELECT p.pid, c.cid,
+           |           row_number() OVER (PARTITION BY p.pid
+           |             ORDER BY ${cosExpr("p.pvec", "c.cvec")} DESC, c.cid) AS rn
+           |    FROM hprobes p CROSS JOIN cents c) WHERE rn <= 4),
+           |vtop AS (
+           |  SELECT asg.id AS doc_id, ${cosExpr("e.embedding", "p.pvec")} AS cos
+           |  FROM asg JOIN hpl ON asg.cid = hpl.cid
+           |       JOIN embeddings e ON e.vec_id = asg.id
+           |       JOIN hprobes p ON p.pid = hpl.pid
+           |  WHERE asg.id <> hpl.pid
+           |  ORDER BY cos DESC, doc_id LIMIT 50)""".stripMargin),
       "q_ann_ivf" ->
         s"""WITH cents AS (
            |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Turn
@@ -28,6 +28,34 @@ object Corpus {
         expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)").as("ts"))
       .as[Turn]
   }
+
+  /** Documents table as a one-turn-per-doc transcript corpus — the
+    * input for building a BM25 segment over `documents` (the keyword
+    * side of hybrid fusion). conv_id zero-pads doc_id so the builder's
+    * (conv_id, turn_idx) sort rank is MONOTONE in doc_id: an engine
+    * hit maps back to its original doc_id by parsing the suffix, and
+    * the engine's tie order (score desc, internal id asc) coincides
+    * with the oracle's (score desc, doc_id asc). 18 digits covers the
+    * full Long range.
+    */
+  def documentsAsTurns(spark: SparkSession, sfDir: String): Dataset[Turn] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 18, "0")).as("conv_id"),
+        lit(0).as("turn_idx"),
+        lit("doc").as("role"),
+        col("text"),
+        lit("").as("tool"),
+        expr("timestamp'2026-01-01 00:00:00'").as("ts"))
+      .as[Turn]
+  }
+
+  /** Inverse of [[documentsAsTurns]]'s key mapping, for a bounded hit
+    * set joined back to the segment docs table.
+    */
+  def docIdFromConv(convId: Column): Column =
+    substring(convId, 2, 18).cast("long")
 
   /** DuckDB CTE computing the identical table from `documents`. */
   val transcriptsCte: String =

@@ -126,14 +126,31 @@ object EntityResolution {
     *                        `:731-748`), equi-join prefilter on shared
     *                        tokens (never a cross join)
     *   5. author + year   — reference `:751-782`: pub_year equality
-    *                        plus an authors-prefix match, then either a
+    *                        plus an authors containment match
+    *                        (`authors LIKE '%prefix%'`), then either a
     *                        title token overlap >= `ayOverlap` (0.3,
-    *                        `:770-775`) or, with no title, a UNIQUE
-    *                        (author, year) candidate (`:777-780`).
-    *                        Two deliberate tightenings for scale: the
-    *                        reference's `authors LIKE '%prefix%'`
-    *                        containment becomes prefix-KEY equality so
-    *                        the stage stays an equi-join, and the
+    *                        `:770-775`) or a UNIQUE (author, year)
+    *                        candidate (`:777-780` — the reference
+    *                        applies this fallback whenever no row
+    *                        passed the overlap test, INCLUDING when a
+    *                        title exists but scored below 0.3).
+    *                        Containment is realized at TOKEN
+    *                        granularity so the stage stays an
+    *                        equi-join at scale: candidates route on
+    *                        the citation author's last-name token
+    *                        (equi-join against the catalog author's
+    *                        exploded token set), then verify that ALL
+    *                        citation-author tokens appear in the
+    *                        catalog author ("van der berg" matches
+    *                        catalog "van der berg j", and a bare
+    *                        last-name citation matches its fuller
+    *                        catalog form — prefix-key equality is a
+    *                        special case, so this strictly widens
+    *                        toward the reference's LIKE). Two
+    *                        deliberate divergences, both documented:
+    *                        containment is token-boundary (the
+    *                        reference's LIKE also matches inside a
+    *                        token, e.g. 'berg' in 'bergman'), and the
     *                        first-10-words cap on the overlap sets (a
     *                        SQLite-era micro-optimization) is dropped —
     *                        overlap is pair-local array_intersect over
@@ -208,25 +225,42 @@ object EntityResolution {
       .select(col("qid"), col("cid"), lit("fuzzy_overlap").as("method"),
         col("overlap").as("score"), lit(4).as("stage"))
 
-    // stage 5: (author_key, year) equi-join; title token overlap
-    // decides when a title exists, else the match must be unique.
-    // Runs on the key residual r3, not "r4" — a qid matched by stage 4
-    // also produces its stage-5 candidates here, but the priority
-    // window drops them, and the per-qid candidate count (`ncand`) is
-    // a property of the (author, year) join alone, identical either
-    // way.
-    val s5 = r3.filter(length(col("author_key")) > 0 && length(col("year")) > 0)
-      .join(c.filter(length(col("c_author")) > 0),
-        col("author_key") === col("c_author") && col("year") === col("c_year"))
+    // stage 5: token-granular author containment + year equi-join.
+    // Candidates route on the citation's LAST author token against the
+    // catalog author's exploded tokens (an equi-join — never a LIKE
+    // cross join), then a pair-local subset verify keeps only rows
+    // where EVERY citation-author token appears in the catalog author:
+    // the token-boundary realization of the reference's
+    // `authors LIKE '%prefix%'`. Prefix-key equality is a special case
+    // of the subset, so no separate equality join is needed. Runs on
+    // the key residual r3, not "r4" — a qid matched by stage 4 also
+    // produces its stage-5 candidates here, but the priority window
+    // drops them, and the per-qid candidate count (`ncand`) is a
+    // property of the containment join alone, identical either way.
+    val qAy = r3.filter(length(col("author_key")) > 0 && length(col("year")) > 0)
+      .withColumn("q_atoks", split(col("author_key"), " "))
+      .withColumn("q_lname", element_at(col("q_atoks"), -1))
+    val cAy = c.filter(length(col("c_author")) > 0)
+      .withColumn("c_atoks", split(col("c_author"), " "))
+    val ayCand = qAy
+      .join(cAy.withColumn("c_atok", explode(col("c_atoks"))),
+        col("q_lname") === col("c_atok") && col("year") === col("c_year"))
+      .filter(forall(col("q_atoks"), t => array_contains(col("c_atoks"), t)))
+      // a duplicated token in the catalog author would emit the pair
+      // twice through the explode — ncand counts candidate PAIRS
+      .dropDuplicates("qid", "cid")
+    val s5 = ayCand
       .withColumn("ov",
         when(size(col("tk")) > 0,
           size(array_intersect(col("tk"), col("c_tk")))
             .cast("double") / size(col("tk")))
           .otherwise(lit(0.0)))
       .withColumn("ncand", count(lit(1)).over(Window.partitionBy(col("qid"))))
+      // the reference's fallback order: overlap >= tau when a title
+      // exists, OTHERWISE (no title, or no row passed the overlap) a
+      // unique candidate matches (`if not found and len(rows) == 1`)
       .filter(
-        (size(col("tk")) > 0 && col("ov") >= ayOverlap) ||
-          (size(col("tk")) === 0 && col("ncand") === 1))
+        (size(col("tk")) > 0 && col("ov") >= ayOverlap) || col("ncand") === 1)
       .select(col("qid"), col("cid"), lit("author_year").as("method"),
         col("ov").as("score"), lit(5).as("stage"))
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.query.OracleEngine
@@ -10,10 +10,13 @@ import graft.query.OracleEngine
   * keyword scores with embedding similarity; unimplemented there).
   *
   * Contract (deterministic, oracle-replayable):
-  *   1. BM25 top-N over (id, text) — exhaustive scoring with the
-  *      engine's exact formulas and lexicographic per-term fold
-  *      (same contract as [[graft.query.OracleEngine]]);
-  *   2. cosine top-N against a probe vector over (id, vec);
+  *   1. BM25 top-N over (id, text) — either the exhaustive oracle
+  *      ([[bm25TopN]], the test twin) or, in serving, the WAND index
+  *      (rank-and-score-identical by EngineParitySpec; SparkEntry's
+  *      q_hybrid_fusion wires that path);
+  *   2. cosine top-N against a probe vector over (id, vec) — either
+  *      brute-force ([[cosineTopN]]) or the persisted-IVF probe path
+  *      (Similarity.ivfTopKPruned) for the at-scale serving stack;
   *   3. full-outer join of the two TOP LISTS (fusion happens over the
   *      retrieved lists, never the corpora — the standard serving
   *      shape: each side's top-N is collected to the fusion node, the
@@ -22,6 +25,10 @@ import graft.query.OracleEngine
   *      (max == min → 1.0; missing from a list → 0.0);
   *   5. fused = alpha·bm25_norm + (1-alpha)·cos_norm, top-k by
   *      (fused desc, id asc).
+  *
+  * [[fuse]] is the ONE copy of steps 3-5: every retriever pairing
+  * (oracle+brute, WAND+brute, WAND+IVF) funnels its two bounded lists
+  * through it, so the normalization/tie contract exists exactly once.
   */
 object Hybrid {
 
@@ -38,36 +45,45 @@ object Hybrid {
       Seq("id"), col("doc_text"), queryText, statsKey = statsKey)
       .select(col("id"), col("score"))
 
-  /** @param docs   (id, text) corpus for the keyword side
-    * @param emb    (id, vec) corpus for the semantic side
-    * @param probeId id of the query vector within `emb`
-    * @return (id, bm25_norm, cos_norm, fused) top-k rows
+  /** Oracle-backed BM25 top-N list (score desc, id asc) — a per-query
+    * corpus scan by design: the ground-truth twin for the index-backed
+    * serving path, never the serving plan itself.
     */
-  def hybridTopK(
-      docs: DataFrame, id: Column, text: Column,
+  def bm25TopN(
+      docs: DataFrame, id: Column, text: Column, queryText: String,
+      n: Int, statsKey: Option[String] = None): Array[(Long, Double)] =
+    bm25ScoreAll(docs, id, text, queryText, statsKey)
+      .orderBy(desc("score"), asc("id")).limit(n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+  /** Brute-force cosine top-N rows against one probe vector — the
+    * exactness baseline for the semantic side (same role as
+    * Similarity.knnJoin vs the IVF/LSH scale paths).
+    */
+  def cosineTopN(
       emb: DataFrame, embId: Column, vec: Column,
-      queryText: String, probeId: Long,
-      alpha: Double, n: Int, k: Int,
-      statsKey: Option[String] = None): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-
-    // the two top lists land on the driver (bounded by n — this IS
-    // the fusion node's input in any serving topology), then fuse as
-    // local relations: no corpus recompute per fusion-side reference
-    val bmRows: Array[(Long, Double)] =
-      bm25ScoreAll(docs, id, text, queryText, statsKey)
-        .orderBy(desc("score"), asc("id")).limit(n)
-        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      probeId: Long, n: Int): Array[(Long, Double)] = {
     val probe = emb.filter(embId === probeId).select(vec.as("pvec"))
-    val vRows: Array[(Long, Double)] =
-      emb.select(embId.as("id"), vec.as("vec"))
-        .filter($"id" =!= probeId)
-        .crossJoin(broadcast(probe))
-        .select($"id", Similarity.cosine($"vec", $"pvec").as("cos"))
-        .orderBy(desc("cos"), asc("id")).limit(n)
-        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    emb.select(embId.as("id"), vec.as("vec"))
+      .filter(col("id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("id"), Similarity.cosine(col("vec"), col("pvec")).as("cos"))
+      .orderBy(desc("cos"), asc("id")).limit(n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+  }
 
+  /** Steps 3-5 of the contract over two already-retrieved bounded
+    * lists: full-outer join, per-side min-max normalization, α-fusion,
+    * top-k by (fused desc, id asc). The lists are driver-resident by
+    * construction (each is a retriever's top-N — the fusion node's
+    * input in any serving topology), so fusion runs over two local
+    * relations with no corpus-sized scan.
+    */
+  def fuse(
+      spark: SparkSession,
+      bmRows: Seq[(Long, Double)], vRows: Seq[(Long, Double)],
+      alpha: Double, k: Int): DataFrame = {
+    import spark.implicits._
     def norm(s: Column, mn: Double, mx: Double): Column =
       when(s.isNull, lit(0.0))
         .when(lit(mx > mn), (s - lit(mn)) / lit(mx - mn))
@@ -79,8 +95,8 @@ object Hybrid {
       if (vRows.isEmpty) (0.0, 0.0)
       else (vRows.map(_._2).min, vRows.map(_._2).max)
 
-    bmRows.toSeq.toDF("id", "bm25")
-      .join(vRows.toSeq.toDF("id", "cos"), Seq("id"), "full_outer")
+    bmRows.toDF("id", "bm25")
+      .join(vRows.toDF("id", "cos"), Seq("id"), "full_outer")
       .select($"id",
         norm($"bm25", bMin, bMax).as("bm25_norm"),
         norm($"cos", cMin, cMax).as("cos_norm"))
@@ -89,4 +105,24 @@ object Hybrid {
       .orderBy(desc("fused"), asc("id"))
       .limit(k)
   }
+
+  /** Oracle-backed hybrid top-k (exhaustive BM25 + brute cosine): the
+    * deterministic ground-truth pairing. Serving swaps either side for
+    * its index-backed equivalent and funnels through the same [[fuse]].
+    *
+    * @param docs   (id, text) corpus for the keyword side
+    * @param emb    (id, vec) corpus for the semantic side
+    * @param probeId id of the query vector within `emb`
+    * @return (id, bm25_norm, cos_norm, fused) top-k rows
+    */
+  def hybridTopK(
+      docs: DataFrame, id: Column, text: Column,
+      emb: DataFrame, embId: Column, vec: Column,
+      queryText: String, probeId: Long,
+      alpha: Double, n: Int, k: Int,
+      statsKey: Option[String] = None): DataFrame =
+    fuse(docs.sparkSession,
+      bm25TopN(docs, id, text, queryText, n, statsKey),
+      cosineTopN(emb, embId, vec, probeId, n),
+      alpha, k)
 }

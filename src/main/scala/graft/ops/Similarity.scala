@@ -249,17 +249,31 @@ object Similarity {
       centroids: DataFrame,
       probes: DataFrame,
       nProbe: Int,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    ivfCandidateTopK(assigned, probeCidLists(centroids, probes, nProbe), k)
+
+  /** Per-probe routing table (pid, pvec, cid): each probe's nProbe
+    * nearest centroids by (pcos desc, cid asc) — the IVF analog of the
+    * BM25 dictionary's shard lists.
+    */
+  private def probeCidLists(
+      centroids: DataFrame, probes: DataFrame, nProbe: Int): DataFrame = {
     val wp = Window.partitionBy(col("pid")).orderBy(desc("pcos"), asc("cid"))
-    val probeLists = probes
+    probes
       .crossJoin(broadcast(centroids))
       .select(col("pid"), col("pvec"), col("cid"),
         cosine(col("pvec"), col("cvec")).as("pcos"))
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nProbe)
       .select(col("pid"), col("pvec"), col("cid"))
-    // one candidate row per (pid, id): assignment is unique per id and
-    // a probe's nProbe cids are distinct, so no dedup is needed
+  }
+
+  /** Exact-cosine rank over the routed candidate lists. One candidate
+    * row per (pid, id): assignment is unique per id and a probe's
+    * nProbe cids are distinct, so no dedup is needed.
+    */
+  private def ivfCandidateTopK(
+      assigned: DataFrame, probeLists: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("pid")).orderBy(desc("cos"), asc("id"))
     assigned.join(broadcast(probeLists), "cid")
       .filter(col("id") =!= col("pid"))
@@ -267,6 +281,30 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("pid"), col("id"), col("cos"), col("rank"))
+  }
+
+  /** Serving path over a PERSISTED index dir ([[ivfWrite]] output):
+    * the probes' routed cid set is collected first (bounded by
+    * |probes| × nProbe) and pushed into the lists scan as a STATIC
+    * `cid IN (...)` predicate — a partition filter that prunes the
+    * non-probed inverted-list directories at planning time, so the
+    * scan's file listing never touches the other (numCentroids −
+    * nProbe) lists. This is the IVF analog of the BM25 path's routed
+    * shard fan-out. The assignment sweep was paid once at [[ivfWrite]]
+    * time, like the posting index's build.
+    */
+  def ivfTopKPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      probes: DataFrame,
+      nProbe: Int,
+      k: Int): DataFrame = {
+    val (assigned, cents) = ivfRead(spark, dir)
+    val pl = probeCidLists(cents, probes, nProbe)
+    // centroid routing is a tiny job (|probes| × √n broadcast cross),
+    // collected so the cid predicate is static, not runtime-only
+    val cids = pl.select(col("cid")).distinct().collect().map(_.getLong(0))
+    ivfCandidateTopK(assigned.filter(col("cid").isin(cids: _*)), pl, k)
   }
 
   /** Persist the IVF index: inverted lists partitioned by cid (probe

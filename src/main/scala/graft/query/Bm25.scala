@@ -13,7 +13,14 @@ object Bm25 {
   val B = 0.75
 
   def idf(numDocs: Long, df: Long): Double =
-    math.log((numDocs - df + 0.5) / (df + 0.5) + 1.0)
+    // StrictMath, not math.log: Spark's `log` column expression (the
+    // oracle-DF path) is StrictMath-pinned, and HotSpot's Math.log
+    // intrinsic may differ from it by 1 ulp — which would break the
+    // engine-vs-DataFrame-oracle bit-parity HybridServeSpec asserts.
+    // StrictMath is also the right call at scale: fdlibm-pinned
+    // results are identical on every executor JVM/architecture,
+    // where the intrinsic is platform-dependent.
+    StrictMath.log((numDocs - df + 0.5) / (df + 0.5) + 1.0)
 
   def tfNorm(tf: Int, dl: Int, avgdl: Double): Double =
     tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
