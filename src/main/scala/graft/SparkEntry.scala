@@ -31,9 +31,12 @@ object SparkEntry {
     */
   private val idxCache = TrieMap[String, String]()
   /** Bump when the segment schema changes — keys the on-disk cache so
-    * a stale index from an older build never gets read.
+    * a stale index from an older build never gets read. v6: the
+    * dictionary's `shards` routing list stores the empty dense-term
+    * sentinel (= all shards) for terms in ≥ DenseRoutingFraction of
+    * shards.
     */
-  private val SegmentFormatVersion = 5
+  private val SegmentFormatVersion = 6
   private def indexFor(spark: SparkSession, sfDir: String): String =
     idxCache.getOrElseUpdate(sfDir, {
       val dir = s"/tmp/graft-qidx-v$SegmentFormatVersion-" +

@@ -106,6 +106,46 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     (snap ++ fetched).collect { case (t, Some(v)) => t -> v }
   }
 
+  /** Routing from the dictionary's per-term shard lists (v6): OR
+    * queries visit the union of their terms' shards, AND queries only
+    * the intersection (a conjunctive match lives in one doc, hence one
+    * shard holding every term) — a rare-term query on a 10⁴-shard
+    * corpus schedules a handful of tasks, not 10⁴. An EMPTY list is
+    * the dense-term sentinel ("all shards",
+    * IndexBuilder.DenseRoutingFraction): it expands to the full shard
+    * range — a superset of the true set, so union and intersection
+    * routing both stay sound (an extra shard just yields no cursors
+    * for that term).
+    */
+  private def routeFor(
+      present: Array[String],
+      termMeta: Map[String, (Double, Double, Seq[Int])],
+      conjunctive: Boolean): Array[Int] = {
+    val allShards: Seq[Int] = 0 until stats.numShards
+    def routeOf(t: String): Seq[Int] = {
+      val s = termMeta(t)._3
+      if (s.isEmpty) allShards else s
+    }
+    if (present.isEmpty) Array.empty
+    else if (conjunctive)
+      present.map(t => routeOf(t).toSet).reduce(_ intersect _).toArray.sorted
+    else present.flatMap(routeOf).distinct.sorted
+  }
+
+  /** The shard set a query would fan out to — one task per element in
+    * [[retrieve]]. Exposed for routing probes (RouteProbe evidences
+    * rare-vs-dense fan-out at high shard counts with exactly the
+    * serving path's routing).
+    */
+  def routedShards(queryText: String, conjunctive: Boolean = false): Array[Int] = {
+    val qTerms = Tokenizer.tokenize(queryText).distinct.sorted
+    if (qTerms.isEmpty) return Array.empty
+    val termMeta = termMetaFor(qTerms)
+    val present = qTerms.filter(termMeta.contains)
+    if (conjunctive && present.length < qTerms.length) return Array.empty
+    routeFor(present, termMeta, conjunctive)
+  }
+
   /** Retrieval core: BM25 top-k as (doc_id, score) — exact scores,
     * no rounding (rounding is an output-boundary contract only).
     */
@@ -145,15 +185,7 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     // file-listing and task scheduling alone dominate the actual
     // per-term page reads.
     //
-    // Routing comes from the dictionary's per-term shard lists (v5):
-    // OR queries visit the union of their terms' shards, AND queries
-    // only the intersection (a conjunctive match lives in one doc,
-    // hence one shard holding every term) — a rare-term query on a
-    // 10⁴-shard corpus schedules a handful of tasks, not 10⁴.
-    val routed: Array[Int] =
-      if (conjLocal)
-        present.map(t => termMeta(t)._3.toSet).reduce(_ intersect _).toArray.sorted
-      else present.flatMap(t => termMeta(t)._3).distinct.sorted
+    val routed: Array[Int] = routeFor(present, termMeta, conjLocal)
     if (routed.isEmpty) return empty
 
     // spark.range with one partition per routed shard keeps the

@@ -18,6 +18,32 @@ object QuerySet {
       conjunctive: Boolean = false,
       minScore: Double = 0.0)
 
+  /** Query-phrasing sweep fixture — the port of the reference's
+    * `diagnose_semantic_search.py:189-261` `test_query_variations`:
+    * four phrasings of the SAME topic (the planted needle-5 document),
+    * from verbose prose through bare keywords, mirroring the
+    * reference's LONG / SHORT / KEYWORDS / NATURAL variants. The long
+    * and natural forms deliberately carry stop words from the
+    * reference's own list (prospective, comparison, treatment, ...)
+    * and hot competing terms, so the sweep exercises tokenization,
+    * idf weighting, and rank stability together. Quality bar = the
+    * reference's: the known-relevant doc must rank in the TOP 10
+    * under EVERY phrasing (SEMANTIC_SEARCH_IMPROVEMENTS.md:5-10,
+    * 269-271); PhrasingSpec asserts it. Declared BEFORE
+    * referenceQueries, which folds these in as `phrase-*` entries.
+    */
+  val phrasingSweep: Seq[(String, String)] = Seq(
+    "long" -> ("prospective randomized comparison of needle5alpha and needle5beta " +
+      "treatment outcomes with t00000 t00001 measurements during the controlled evaluation"),
+    "short" -> "needle5alpha needle5beta",
+    "keywords" -> "needle5alpha needle5beta needleshared",
+    "natural" -> "what is the effect of needle5alpha versus needle5beta in this corpus")
+
+  /** The phrasing sweep's known-relevant document (needle 5's planted
+    * turn): conv [[TranscriptGen.convId]](5), turn 0.
+    */
+  val phrasingTargetConv: String = TranscriptGen.convId(5L)
+
   val referenceQueries: Seq[Q] = {
     val hot = Seq(
       Q("hot1", "t00000"),
@@ -50,6 +76,7 @@ object QuerySet {
       Q("thresh15", "t00020 t00021", minScore = 0.15),
       Q("thresh30", "t00030", minScore = 0.3, k = 100),
       Q("bigk", "t00002 t00040", k = 1000))
-    hot ++ mid ++ rare ++ mixed ++ and ++ needles ++ special
+    hot ++ mid ++ rare ++ mixed ++ and ++ needles ++ special ++
+      phrasingSweep.map { case (kind, text) => Q(s"phrase-$kind", text) }
   }
 }

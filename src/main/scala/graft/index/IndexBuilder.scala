@@ -243,14 +243,41 @@ object IndexBuilder {
       perShard.map(_._2).sum, checksum, perShard))
   }
 
+  /** Terms present in at least this fraction of the corpus's shards
+    * store the EMPTY routing list (sentinel: "all shards") instead of
+    * an explicit one. Caps every dictionary row at
+    * O(DenseRoutingFraction × numShards) routing entries — without it,
+    * a common term on a 10⁴-shard corpus carries a 10⁴-entry array and
+    * the dictionary (and the driver's per-term cache) becomes
+    * routing-dominated. A dict entry exists only for terms with ≥ 1
+    * posting, so an empty list is unambiguous. Routing stays SOUND:
+    * the sentinel expands to a superset of the true shard set, and
+    * supersets preserve both OR-union and AND-intersection coverage
+    * (a shard fanned out to without the term just yields no cursors);
+    * worst-case extra fan-out is (1 − fraction)/fraction of the true
+    * set, paid only on near-dense terms whose true fan-out is already
+    * close to all-shards.
+    */
+  val DenseRoutingFraction = 0.75
+
   /** Dictionary from ONE column-pruned read of block metadata
     * (doc/tf byte columns never leave the parquet files): df = Σ block
     * n, cf = Σ block tf sums, (max_tf, min_dl) = the term's global
-    * score-bound inputs. Derived data, so append just re-runs it. The
-    * dictionary manifest rides the write via Observation.
+    * score-bound inputs. Derived data, so append just re-runs it —
+    * which is what keeps the dense-routing sentinel append-stable: the
+    * sentinel is a pure function of (true shard set, totalShards at
+    * write time), recomputed globally on every mutation, never merged
+    * incrementally. The dictionary manifest rides the write via
+    * Observation.
+    *
+    * @param totalShards the corpus's shard count (ceil(n/dps)) — the
+    *        sentinel threshold input, NOT derivable from the postings
+    *        relation alone
     */
-  private def writeDictionary(spark: SparkSession, dir: String, numDocs: Long): Unit = {
+  private def writeDictionary(
+      spark: SparkSession, dir: String, numDocs: Long, totalShards: Int): Unit = {
     import spark.implicits._
+    val denseMin = math.max(1L, math.ceil(DenseRoutingFraction * totalShards).toLong)
     val obs = new org.apache.spark.sql.Observation(s"dict-${System.nanoTime()}")
     spark.read.parquet(postingsPath(dir))
       .select($"term", $"n", $"sum_tf", $"block_max_tf", $"block_min_dl",
@@ -259,9 +286,13 @@ object IndexBuilder {
       .agg(sum($"n").cast("long").as("df"), sum($"sum_tf").cast("long").as("cf"),
         max($"block_max_tf").cast("int").as("max_tf"),
         min($"block_min_dl").cast("int").as("min_dl"),
-        // v5 shard-routing list: sorted for determinism (parallelism
-        // invariance), partial-aggregates map-side like the rest
+        // v6 shard-routing list: sorted for determinism (parallelism
+        // invariance), partial-aggregates map-side like the rest;
+        // dense terms collapse to the empty sentinel
         sort_array(collect_set($"shard")).as("shards"))
+      .withColumn("shards",
+        when(size($"shards") >= lit(denseMin), array().cast("array<int>"))
+          .otherwise($"shards"))
       .observe(obs, count(lit(1)).as("rows"),
         expr("bit_xor(xxhash64(term, df, cf))").as("x"))
       .orderBy($"term").write.mode("overwrite").parquet(dictPath(dir))
@@ -405,7 +436,8 @@ object IndexBuilder {
       import scala.concurrent.ExecutionContext.Implicits.global
       val fDict =
         if (stageDone(dir, "dictionary")) Future.unit
-        else Future(timed("dictionary")(writeDictionary(spark, dir, stats.numDocs)))
+        else Future(timed("dictionary")(
+          writeDictionary(spark, dir, stats.numDocs, stats.numShards)))
       val fNorms =
         if (stageDone(dir, "norms")) Future.unit
         else Future(timed("norms")(writeNorms(spark, dir,
@@ -562,7 +594,8 @@ object IndexBuilder {
     // ---- postings manifest + dictionary: derived, recompute (the
     // observed checksum covers only the rewritten shards → read-back) ----
     writePostingsManifest(spark, dir, newN, observedChecksum = None)
-    timed("append.dictionary")(writeDictionary(spark, dir, newN))
+    timed("append.dictionary")(
+      writeDictionary(spark, dir, newN, stats1.numShards))
 
     // ---- norms: rebuild shards >= boundary from the docs table ----
     timed("append.norms")(writeNorms(spark, dir,
@@ -690,7 +723,7 @@ object IndexBuilder {
     // snapshot too (a crash after writeStats but before the manifest
     // refresh would otherwise leave a docs manifest whose row count
     // and checksum disagree with the healthy table forever)
-    writeDictionary(spark, dir, oldN)
+    writeDictionary(spark, dir, oldN, stats0.numShards)
     writePostingsManifest(spark, dir, oldN, observedChecksum = None)
     writeNormsManifest(spark, dir, oldN)
     writeDocsAndStatsManifests(spark, dir, oldN, stats0.totalTokens)

@@ -101,12 +101,16 @@ object SegmentIO {
       shard: Int)
 
   /** Per-term stats; (max_tf, min_dl) bound the term's score the same
-    * way block metadata does, globally. `shards` (v5) is the sorted
-    * list of shards holding at least one posting for the term — the
-    * query router's shard-pruning structure: a query schedules tasks
-    * only for the union (OR) / intersection (AND) of its terms'
-    * shard lists instead of fanning out to every shard of a 10⁴-shard
-    * corpus.
+    * way block metadata does, globally. `shards` (v5, sentinel v6) is
+    * the sorted list of shards holding at least one posting for the
+    * term — the query router's shard-pruning structure: a query
+    * schedules tasks only for the union (OR) / intersection (AND) of
+    * its terms' shard lists instead of fanning out to every shard of
+    * a 10⁴-shard corpus. An EMPTY list is the v6 dense-term sentinel,
+    * meaning "all shards" (IndexBuilder.DenseRoutingFraction) — it
+    * keeps dictionary rows and the driver's term cache
+    * O(fraction × numShards) bounded instead of letting common terms
+    * carry full 10⁴-entry arrays.
     */
   case class DictEntry(term: String, df: Long, cf: Long, max_tf: Int, min_dl: Int,
       shards: Seq[Int])

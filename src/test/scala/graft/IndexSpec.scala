@@ -55,6 +55,29 @@ class IndexSpec extends SparkSpec {
     assert(SegmentIO.readStats(baseDir).numDocs == SegmentIO.readStats(saltedDir).numDocs)
   }
 
+  test("v6 dense-routing sentinel: empty ⟺ ≥ fraction of shards, exact list otherwise") {
+    val stats = SegmentIO.readStats(baseDir)
+    val denseMin =
+      math.max(1L, math.ceil(IndexBuilder.DenseRoutingFraction * stats.numShards).toLong)
+    // ground truth: each term's truly-populated shard set, from postings
+    val truth = SegmentIO.readPostings(spark, baseDir).collect()
+      .groupBy(_.term).map { case (t, bs) => t -> bs.map(_.shard).toSet }
+    val dict = SegmentIO.readDict(spark, baseDir).collect()
+    assert(dict.nonEmpty)
+    dict.foreach { d =>
+      val tru = truth(d.term)
+      if (tru.size >= denseMin)
+        assert(d.shards.isEmpty, s"dense term '${d.term}' must store the sentinel")
+      else
+        assert(d.shards == tru.toSeq.sorted,
+          s"rare term '${d.term}' must store its exact sorted shard list")
+    }
+    assert(dict.exists(d => truth(d.term).size >= denseMin),
+      "corpus must exercise the sentinel (a hot term in most shards)")
+    assert(dict.exists(_.shards.nonEmpty),
+      "corpus must exercise explicit routing (rare terms)")
+  }
+
   test("resume: killed-after-stage-N rebuild is content-identical") {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
