@@ -27,6 +27,15 @@ object ExplainProbe {
       .filter($"shard".isin(shards: _*) && $"doc_id".between(1L, 2L))
       .join(broadcast(hits), "doc_id")
       .select("conv_id", "turn_idx", "score").explain("formatted")
+    // optional second arg: a persisted IVF dir — shows that the probe
+    // path's static cid IN (...) predicate reaches the lists scan as a
+    // PartitionFilter (directory-level pruning of non-probed lists)
+    if (args.length > 1) {
+      val ivfDir = args(1)
+      println("=== IVF probe scan: cid partition filter ===")
+      val (assigned, _) = graft.ops.Similarity.ivfRead(spark, ivfDir)
+      assigned.filter($"cid".isin(0L, 25L)).explain("formatted")
+    }
     spark.stop()
   }
 }
