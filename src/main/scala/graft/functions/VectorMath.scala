@@ -60,6 +60,25 @@ object VectorMath {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Driver-side overload over plain float arrays — IDENTICAL fold to
+    * the ArrayData kernel above (same ops, same order, so results are
+    * bit-equal), for bounded routing computations that run on the
+    * driver (IVF probe→centroid ranking over a collected √n centroid
+    * table) instead of paying a Spark job.
+    */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Per-table random-hyperplane LSH buckets. Table t's bucket packs
     * `planes` sign bits of projections onto deterministic pseudo-
     * random planes, global plane index g = t*planes + j:

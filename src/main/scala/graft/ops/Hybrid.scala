@@ -73,37 +73,44 @@ object Hybrid {
   }
 
   /** Steps 3-5 of the contract over two already-retrieved bounded
-    * lists: full-outer join, per-side min-max normalization, α-fusion,
+    * lists: full-outer merge, per-side min-max normalization, α-fusion,
     * top-k by (fused desc, id asc). The lists are driver-resident by
     * construction (each is a retriever's top-N — the fusion node's
-    * input in any serving topology), so fusion runs over two local
-    * relations with no corpus-sized scan.
+    * input in any serving topology), so the fusion arithmetic itself
+    * runs ON THE DRIVER over ≤ 2N rows — spinning up a Spark job to
+    * full-outer-join two ≤N-row local relations would pay fixed
+    * planning/scheduling cost for no distributed work (same principle
+    * as the IVF probe routing). Missing-from-a-list → 0.0; a
+    * degenerate one-value list normalizes to 1.0; the result returns
+    * as a local-relation DataFrame for downstream composition.
     */
   def fuse(
       spark: SparkSession,
       bmRows: Seq[(Long, Double)], vRows: Seq[(Long, Double)],
       alpha: Double, k: Int): DataFrame = {
     import spark.implicits._
-    def norm(s: Column, mn: Double, mx: Double): Column =
-      when(s.isNull, lit(0.0))
-        .when(lit(mx > mn), (s - lit(mn)) / lit(mx - mn))
-        .otherwise(lit(1.0))
     val (bMin, bMax) =
       if (bmRows.isEmpty) (0.0, 0.0)
       else (bmRows.map(_._2).min, bmRows.map(_._2).max)
     val (cMin, cMax) =
       if (vRows.isEmpty) (0.0, 0.0)
       else (vRows.map(_._2).min, vRows.map(_._2).max)
-
-    bmRows.toDF("id", "bm25")
-      .join(vRows.toDF("id", "cos"), Seq("id"), "full_outer")
-      .select($"id",
-        norm($"bm25", bMin, bMax).as("bm25_norm"),
-        norm($"cos", cMin, cMax).as("cos_norm"))
-      .withColumn("fused",
-        lit(alpha) * $"bm25_norm" + lit(1.0 - alpha) * $"cos_norm")
-      .orderBy(desc("fused"), asc("id"))
-      .limit(k)
+    // same op order as the DuckDB twin: (s - mn) / (mx - mn)
+    def norm(s: Option[Double], mn: Double, mx: Double): Double = s match {
+      case None => 0.0
+      case Some(v) => if (mx > mn) (v - mn) / (mx - mn) else 1.0
+    }
+    val bm = bmRows.toMap
+    val cs = vRows.toMap
+    val ids = (bmRows.map(_._1) ++ vRows.map(_._1)).distinct
+    ids.map { id =>
+        val bn = norm(bm.get(id), bMin, bMax)
+        val cn = norm(cs.get(id), cMin, cMax)
+        (id, bn, cn, alpha * bn + (1.0 - alpha) * cn)
+      }
+      .sortBy { case (id, _, _, f) => (-f, id) }
+      .take(k)
+      .toDF("id", "bm25_norm", "cos_norm", "fused")
   }
 
   /** Oracle-backed hybrid top-k (exhaustive BM25 + brute cosine): the

@@ -284,14 +284,22 @@ object Similarity {
   }
 
   /** Serving path over a PERSISTED index dir ([[ivfWrite]] output):
-    * the probes' routed cid set is collected first (bounded by
-    * |probes| × nProbe) and pushed into the lists scan as a STATIC
+    * probe→centroid routing runs ON THE DRIVER — the centroid table is
+    * √n-ish by construction and probes are a bounded set, so ranking
+    * nProbe lists per probe is a collected-table computation using the
+    * SAME kernel the codegen expression calls
+    * ([[graft.functions.VectorMath.cosine]] float-array overload,
+    * bit-equal fold) with the same (pcos desc, cid asc) tie order.
+    * The routed cid set then pushes into the lists scan as a STATIC
     * `cid IN (...)` predicate — a partition filter that prunes the
     * non-probed inverted-list directories at planning time, so the
     * scan's file listing never touches the other (numCentroids −
-    * nProbe) lists. This is the IVF analog of the BM25 path's routed
-    * shard fan-out. The assignment sweep was paid once at [[ivfWrite]]
-    * time, like the posting index's build.
+    * nProbe) lists, and the whole query is ONE Spark job (the
+    * candidate join). This is the IVF analog of the BM25 path's
+    * dictionary-routed shard fan-out (routing structures live at the
+    * coordinator; data-sized work stays distributed). The assignment
+    * sweep was paid once at [[ivfWrite]] time, like the posting
+    * index's build.
     */
   def ivfTopKPruned(
       spark: org.apache.spark.sql.SparkSession,
@@ -299,12 +307,27 @@ object Similarity {
       probes: DataFrame,
       nProbe: Int,
       k: Int): DataFrame = {
+    import spark.implicits._
     val (assigned, cents) = ivfRead(spark, dir)
-    val pl = probeCidLists(cents, probes, nProbe)
-    // centroid routing is a tiny job (|probes| × √n broadcast cross),
-    // collected so the cid predicate is static, not runtime-only
-    val cids = pl.select(col("cid")).distinct().collect().map(_.getLong(0))
-    ivfCandidateTopK(assigned.filter(col("cid").isin(cids: _*)), pl, k)
+    val centRows: Array[(Long, Array[Float])] =
+      cents.select(col("cid"), col("cvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probeRows: Array[(Long, Array[Float])] =
+      probes.select(col("pid"), col("pvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val pl: Array[(Long, Seq[Float], Long)] = probeRows.flatMap { case (pid, pv) =>
+      centRows
+        .map { case (cid, cv) =>
+          (cid, graft.functions.VectorMath.cosine(pv, cv))
+        }
+        .sortBy { case (cid, pc) => (-pc, cid) }
+        .take(nProbe)
+        .map { case (cid, _) => (pid, pv.toSeq, cid) }
+    }
+    val cids = pl.map(_._3).distinct.toSeq
+    val plDf = pl.toSeq.toDF("pid", "pvec", "cid")
+      .select(col("pid"), col("pvec").cast("array<float>").as("pvec"), col("cid"))
+    ivfCandidateTopK(assigned.filter(col("cid").isin(cids: _*)), plDf, k)
   }
 
   /** Persist the IVF index: inverted lists partitioned by cid (probe

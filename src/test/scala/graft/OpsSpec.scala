@@ -206,6 +206,12 @@ class OpsSpec extends SparkSpec {
       probes, stride = 8L, nProbe = 2, k = 5))
     assert(persisted == inMemory && persisted.nonEmpty)
 
+    // the serving path (static cid pruning pushed into the lists scan)
+    // must return exactly the same rows as the unpruned persisted path
+    val pruned = rows(Similarity.ivfTopKPruned(spark, dir, probes,
+      nProbe = 2, k = 5))
+    assert(pruned == persisted)
+
     // an explicit cid filter on the read-back lists prunes at the
     // partition-directory level
     val plan = assigned.filter(col("cid").isin(0L, 8L))
