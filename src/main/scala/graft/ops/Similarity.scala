@@ -301,6 +301,16 @@ object Similarity {
     * sweep was paid once at [[ivfWrite]] time, like the posting
     * index's build.
     */
+  /** Driver-resident centroid cache per index dir: the centroid table
+    * is the IVF index's routing structure (the analog of the BM25
+    * driver dictionary cache) — √n-ish rows, collected once and
+    * reused by every probe; whole-entry eviction on overwrite is the
+    * caller's job (q-index dirs are content-hashed per corpus, so
+    * entries are immutable in practice).
+    */
+  private val centCache =
+    new scala.collection.concurrent.TrieMap[String, Array[(Long, Array[Float])]]
+
   def ivfTopKPruned(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -310,8 +320,9 @@ object Similarity {
     import spark.implicits._
     val (assigned, cents) = ivfRead(spark, dir)
     val centRows: Array[(Long, Array[Float])] =
-      cents.select(col("cid"), col("cvec")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      centCache.getOrElseUpdate(dir,
+        cents.select(col("cid"), col("cvec")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
     val probeRows: Array[(Long, Array[Float])] =
       probes.select(col("pid"), col("pvec")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
