@@ -79,16 +79,28 @@ object SparkEntry {
 
   /** Index-backed BM25 top-N over documents as (orig doc_id, exact
     * score) rows: routed WAND retrieve (rank-and-score-identical to
-    * the exhaustive oracle — EngineParitySpec + HybridSpec), then the
-    * BOUNDED hit set maps internal→original ids through the segment
-    * docs table (local-relation broadcast join — no corpus-sized scan
-    * anywhere in the per-query plan).
+    * the exhaustive oracle — EngineParitySpec + HybridServeSpec),
+    * then the BOUNDED hit set maps internal→original ids through the
+    * segment docs table with the same pushdown shape as
+    * SearchEngine.search: hits land on the driver first so shard-isin
+    * + doc_id-range predicates reach the docs scan (a broadcast hash
+    * join alone prunes nothing — at 10⁹ docs that full scan would be
+    * a per-query corpus-sized read), and the local-relation broadcast
+    * join refines exactly.
     */
   private def docsBm25TopN(
       spark: SparkSession, sfDir: String, queryText: String, n: Int): Array[(Long, Double)] = {
-    val hits = docsEngine(spark, sfDir).retrieve(queryText, n)
+    import spark.implicits._
+    val eng = docsEngine(spark, sfDir)
+    val hitRows = eng.retrieve(queryText, n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    if (hitRows.isEmpty) return Array.empty
+    val dps = eng.stats.docsPerShard
+    val hitShards = hitRows.map(_._1 / dps).distinct.toSeq
+    val (minId, maxId) = (hitRows.map(_._1).min, hitRows.map(_._1).max)
     SegmentIO.readDocs(spark, docsIndexFor(spark, sfDir))
-      .join(broadcast(hits), "doc_id")
+      .filter(col("shard").isin(hitShards: _*) && col("doc_id").between(minId, maxId))
+      .join(broadcast(hitRows.toSeq.toDF("doc_id", "score")), "doc_id")
       .select(Corpus.docIdFromConv(col("conv_id")).as("id"), col("score"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
       .sortBy { case (id, sc) => (-sc, id) }
@@ -104,7 +116,11 @@ object SparkEntry {
   private val ivfCache = TrieMap[String, String]()
   private def ivfFor(spark: SparkSession, sfDir: String): String =
     ivfCache.getOrElseUpdate(sfDir, {
-      val dir = s"/tmp/graft-qivf-v1-" +
+      // stride is part of the cache key: a stride change MUST miss the
+      // on-disk cache (same rule as SegmentFormatVersion for the BM25
+      // segment — a stale-quantizer index would silently diverge from
+      // the oracle, which replays the stride from source)
+      val dir = s"/tmp/graft-qivf-v1-s$IvfStride-" +
         java.security.MessageDigest.getInstance("MD5")
           .digest(sfDir.getBytes).map("%02x".format(_)).mkString.take(12)
       if (!new java.io.File(s"$dir/centroids/_SUCCESS").exists) {

@@ -35,14 +35,17 @@ object Corpus {
     * (conv_id, turn_idx) sort rank is MONOTONE in doc_id: an engine
     * hit maps back to its original doc_id by parsing the suffix, and
     * the engine's tie order (score desc, internal id asc) coincides
-    * with the oracle's (score desc, doc_id asc). 18 digits covers the
-    * full Long range.
+    * with the oracle's (score desc, doc_id asc). 19 digits covers the
+    * full non-negative Long range (Long.MaxValue has 19 digits; lpad
+    * TRUNCATES over-length input, so an under-sized pad would
+    * silently collide ids). Precondition: doc_id >= 0 — a '-' sign
+    * would break both the zero-pad ordering and the suffix parse.
     */
   def documentsAsTurns(spark: SparkSession, sfDir: String): Dataset[Turn] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(
-        concat(lit("d"), lpad(col("doc_id").cast("string"), 18, "0")).as("conv_id"),
+        concat(lit("d"), lpad(col("doc_id").cast("string"), 19, "0")).as("conv_id"),
         lit(0).as("turn_idx"),
         lit("doc").as("role"),
         col("text"),
@@ -55,7 +58,7 @@ object Corpus {
     * set joined back to the segment docs table.
     */
   def docIdFromConv(convId: Column): Column =
-    substring(convId, 2, 18).cast("long")
+    substring(convId, 2, 19).cast("long")
 
   /** DuckDB CTE computing the identical table from `documents`. */
   val transcriptsCte: String =

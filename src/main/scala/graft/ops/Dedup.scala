@@ -113,12 +113,15 @@ object Dedup {
           (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"mh$i").cast("string")): _*))
           .as("bucket"))
     }
-    // maxBucketSize bounds both the aggregation buffer's worst row and
-    // the per-bucket pair explode (m² in bucket size): a degenerate
-    // corpus where thousands of docs share a band signature otherwise
-    // materializes the whole bucket in one buffer. Same knob as
-    // Similarity.lshCosinePairsMulti; the size filter is free (rides
-    // the aggregated array, no count shuffle).
+    // maxBucketSize bounds the per-bucket pair EXPLODE (m² in bucket
+    // size) — the actual scale-killer. It does NOT bound the
+    // aggregation buffer's worst row: the degenerate bucket's array is
+    // still materialized once before the size filter drops it (one
+    // O(bucket) row, spillable by the hash agg — capping it earlier
+    // would need a count pre-pass, i.e. the windowed-count funnel this
+    // shape exists to avoid). Same knob and same tradeoff as
+    // Similarity.lshCosinePairsMulti; the size filter itself is free
+    // (rides the aggregated array, no count shuffle).
     sig
       .select(col("id"), col("sz"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("sz"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))

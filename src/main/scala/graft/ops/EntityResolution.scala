@@ -226,25 +226,34 @@ object EntityResolution {
         col("overlap").as("score"), lit(4).as("stage"))
 
     // stage 5: token-granular author containment + year equi-join.
-    // Candidates route on the citation's LAST author token against the
-    // catalog author's exploded tokens (an equi-join — never a LIKE
-    // cross join), then a pair-local subset verify keeps only rows
-    // where EVERY citation-author token appears in the catalog author:
-    // the token-boundary realization of the reference's
-    // `authors LIKE '%prefix%'`. Prefix-key equality is a special case
-    // of the subset, so no separate equality join is needed. Runs on
-    // the key residual r3, not "r4" — a qid matched by stage 4 also
-    // produces its stage-5 candidates here, but the priority window
-    // drops them, and the per-qid candidate count (`ncand`) is a
-    // property of the containment join alone, identical either way.
+    // Candidates route on the citation's LONGEST author token (longest
+    // = rarest proxy: initials like "j"/"b" are drawn from a ~26-value
+    // alphabet and would fan the equi-join out to every catalog row
+    // sharing the initial+year; a surname-length token keeps the join
+    // selective) against the catalog author's exploded tokens — an
+    // equi-join, never a LIKE cross join — then a pair-local subset
+    // verify keeps only rows where EVERY citation-author token appears
+    // in the catalog author: the token-boundary realization of the
+    // reference's `authors LIKE '%prefix%'`. The routing-token choice
+    // cannot change RESULTS (the subset verify requires every q token
+    // in c, so any q token is a sound routing key — the longest is
+    // just the cheapest); prefix-key equality is a special case of the
+    // subset, so no separate equality join is needed. Runs on the key
+    // residual r3, not "r4" — a qid matched by stage 4 also produces
+    // its stage-5 candidates here, but the priority window drops them,
+    // and the per-qid candidate count (`ncand`) is a property of the
+    // containment join alone, identical either way.
     val qAy = r3.filter(length(col("author_key")) > 0 && length(col("year")) > 0)
       .withColumn("q_atoks", split(col("author_key"), " "))
-      .withColumn("q_lname", element_at(col("q_atoks"), -1))
+      // max over (length, token) structs: longest token, ties broken
+      // lexicographically — deterministic
+      .withColumn("q_rtok",
+        expr("array_max(transform(q_atoks, t -> struct(length(t) AS l, t AS t))).t"))
     val cAy = c.filter(length(col("c_author")) > 0)
       .withColumn("c_atoks", split(col("c_author"), " "))
     val ayCand = qAy
       .join(cAy.withColumn("c_atok", explode(col("c_atoks"))),
-        col("q_lname") === col("c_atok") && col("year") === col("c_year"))
+        col("q_rtok") === col("c_atok") && col("year") === col("c_year"))
       .filter(forall(col("q_atoks"), t => array_contains(col("c_atoks"), t)))
       // a duplicated token in the catalog author would emit the pair
       // twice through the explode — ncand counts candidate PAIRS

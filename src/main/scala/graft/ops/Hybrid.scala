@@ -103,12 +103,18 @@ object Hybrid {
     val bm = bmRows.toMap
     val cs = vRows.toMap
     val ids = (bmRows.map(_._1) ++ vRows.map(_._1)).distinct
+    // (fused desc, id asc) with Spark's NaN-as-largest placement, so a
+    // NaN that leaks in from a degenerate semantic score ranks exactly
+    // where the Column orderBy(desc) formulation would put it (first)
+    val byFusedDescIdAsc: Ordering[(Long, Double, Double, Double)] =
+      Ordering.by[(Long, Double, Double, Double), Double](_._4)(
+        Ordering.Double.TotalOrdering.reverse).orElseBy(_._1)
     ids.map { id =>
         val bn = norm(bm.get(id), bMin, bMax)
         val cn = norm(cs.get(id), cMin, cMax)
         (id, bn, cn, alpha * bn + (1.0 - alpha) * cn)
       }
-      .sortBy { case (id, _, _, f) => (-f, id) }
+      .sorted(byFusedDescIdAsc)
       .take(k)
       .toDF("id", "bm25_norm", "cos_norm", "fused")
   }

@@ -326,12 +326,20 @@ object Similarity {
     val probeRows: Array[(Long, Array[Float])] =
       probes.select(col("pid"), col("pvec")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // (pcos desc, cid asc) with Spark's NaN placement: Spark orders
+    // NaN as the LARGEST value, so desc(pcos) ranks a NaN cosine (zero
+    // vector) first — a plain sortBy(-pc) would rank it last and route
+    // a zero-vector probe to different lists than the Spark/oracle
+    // twin. TotalOrdering.reverse reproduces Spark exactly.
+    val byPcosDescCidAsc: Ordering[(Long, Double)] =
+      Ordering.by[(Long, Double), Double](_._2)(Ordering.Double.TotalOrdering.reverse)
+        .orElseBy(_._1)
     val pl: Array[(Long, Seq[Float], Long)] = probeRows.flatMap { case (pid, pv) =>
       centRows
         .map { case (cid, cv) =>
           (cid, graft.functions.VectorMath.cosine(pv, cv))
         }
-        .sortBy { case (cid, pc) => (-pc, cid) }
+        .sorted(byPcosDescCidAsc)
         .take(nProbe)
         .map { case (cid, _) => (pid, pv.toSeq, cid) }
     }

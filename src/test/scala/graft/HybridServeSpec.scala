@@ -27,13 +27,21 @@ class HybridServeSpec extends SparkSpec {
   private lazy val eng = new SearchEngine(spark, idxDir)
 
   /** The exact serving shape SparkEntry.docsBm25TopN uses: routed WAND
-    * top-N, then the bounded hit set maps internal→original ids
-    * through the segment docs table.
+    * top-N collected to the driver, then shard-isin + doc_id-range
+    * pushdown into the docs scan with a local-relation broadcast join
+    * mapping internal→original ids.
     */
   private def engineTopN(q: String, n: Int): Seq[(Long, Double)] = {
-    val hits = eng.retrieve(q, n)
+    import spark.implicits._
+    val hitRows = eng.retrieve(q, n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    if (hitRows.isEmpty) return Seq.empty
+    val dps = eng.stats.docsPerShard
+    val hitShards = hitRows.map(_._1 / dps).distinct.toSeq
+    val (minId, maxId) = (hitRows.map(_._1).min, hitRows.map(_._1).max)
     SegmentIO.readDocs(spark, idxDir)
-      .join(broadcast(hits), "doc_id")
+      .filter(col("shard").isin(hitShards: _*) && col("doc_id").between(minId, maxId))
+      .join(broadcast(hitRows.toSeq.toDF("doc_id", "score")), "doc_id")
       .select(Corpus.docIdFromConv(col("conv_id")).as("id"), col("score"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       .sortBy { case (id, sc) => (-sc, id) }
