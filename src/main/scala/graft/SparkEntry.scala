@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.api.SearchEngine
 import graft.index.{IndexBuilder, SegmentIO}
 import graft.model.QuerySpec
-import graft.ops.{Corpus, Dedup, EntityResolution, Hashing, Hybrid, Multimodal, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, EntityResolution, Hashing, Hybrid, Multimodal, Pack, Sampling, Similarity, TextOps}
 import graft.query.OracleEngine
 import graft.tokenize.Tokenizer
 
@@ -842,8 +842,72 @@ object SparkEntry {
           round(col("mean_byte"), 6).as("mean_byte"),
           col("frames_sampled"))
         .orderBy("media_id")
+    }),
+    // ---- training-pipeline ops: sketch / split / packing / near-dup ----
+    // KMV distinct-count sketch (native TypedImperativeAggregate,
+    // bounded k-long state per group, map-side partial merge) next to
+    // the exact countDistinct it approximates at 100 TB
+    "q_kmv_distinct" -> ((s, dir) => {
+      val k = KmvK
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("lang"),
+          explode(split(lower(col("text")), Tokenizer.SplitPattern)).as("term"))
+        .filter(length(col("term")) >= Tokenizer.MinLen)
+        .select(col("lang"), Hashing.hash32(col("term")).as("h"))
+        .groupBy("lang")
+        .agg(countDistinct(col("h")).as("exact_distinct"),
+          graft.functions.KmvSketch.mins(col("h"), k).as("mins"))
+        .select(col("lang"), col("exact_distinct"),
+          size(col("mins")).cast("long").as("n_mins"),
+          when(size(col("mins")) >= k, element_at(col("mins"), k)).as("kth"),
+          round(graft.functions.KmvSketch.estimate(col("mins"), k), 6)
+            .as("kmv_est"))
+        .orderBy("lang")
+    }),
+    // deterministic hash-split: train/val/test assignment is a pure
+    // function of (salt, doc_id) — reproducible at any scale and
+    // stable under appends/repartitioning
+    "q_train_split" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("lang"),
+          Sampling.splitAssign(col("doc_id"), trainBp = 9000, valBp = 500)
+            .as("split"),
+          col("n_chars"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("n_chars"))
+        .orderBy("lang", "split")
+    }),
+    // sequence packing: fixed-token-budget bins over the id-ordered
+    // doc stream via the two-level distributed prefix sum (no global
+    // single-partition window)
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      // chunkSize 512 (vs the 2^20 production default) so the gate
+      // exercises the REAL multi-chunk two-level prefix sum — output
+      // is chunkSize-invariant (PipelineOpsSpec pins it)
+      Pack.binSummary(
+        Pack.packSequences(docs, col("doc_id"),
+          TextOps.wsTokenCount(col("text")), budget = PackBudget,
+          chunkSize = 512))
+        .orderBy("bin")
+    }),
+    // embedding-cosine near-dup: LSH-bucketed pair generation + greedy
+    // keep-lowest-id dedup policy over the verified pairs
+    "q_embed_neardup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.embeddingNearDup(emb, col("vec_id"), col("embedding"),
+          dim = 64, tables = 4, planesPerTable = 6, tau = 0.4,
+          maxBucketSize = 200)
+        .select(col("doc_id"), col("keep_id"), col("n_smaller"),
+          round(col("max_cos"), 6).as("max_cos"))
+        .orderBy("doc_id")
     })
   )
+
+  /** KMV sketch size for q_kmv_distinct (64 → ~12.5% stderr). */
+  private val KmvK = 64
+  /** Token budget per packed bin for q_pack_sequences. */
+  private val PackBudget = 2048L
 
   // tokens with length filter only (the dedup/fingerprint paths do
   // not stop-word-filter, matching Dedup.shingles / TextOps.fingerprint)
@@ -1025,8 +1089,13 @@ object SparkEntry {
     s"($bits)::BIGINT"
   }
 
-  private def annLshMultiSql(dim: Int, tables: Int, planes: Int,
-      tau: Double, maxBucket: Int): String = {
+  /** Shared multi-table LSH pair CTEs ending in `res(id_a, id_b, cos)`
+    * — the twin of [[graft.ops.Similarity.lshCosinePairsMulti]]'s
+    * candidate generation, used by both the pair query and the
+    * embedding near-dup rollup.
+    */
+  private def lshPairsCtes(dim: Int, tables: Int, planes: Int,
+      maxBucket: Int): String = {
     val ent = (0 until tables).map(t =>
       s"SELECT vec_id AS id, $t AS tbl, ${lshTableBucketSql(dim, t, planes)} AS bucket FROM embeddings")
       .mkString("\n  UNION ALL ")
@@ -1040,10 +1109,25 @@ object SparkEntry {
        |res AS (
        |  SELECT id_a, id_b, $cosSql AS cos
        |  FROM cand JOIN embeddings a ON a.vec_id = id_a
-       |       JOIN embeddings b ON b.vec_id = id_b)
+       |       JOIN embeddings b ON b.vec_id = id_b)""".stripMargin
+  }
+
+  private def annLshMultiSql(dim: Int, tables: Int, planes: Int,
+      tau: Double, maxBucket: Int): String =
+    s"""${lshPairsCtes(dim, tables, planes, maxBucket)}
        |SELECT id_a, id_b, round(cos, 6) AS cos FROM res
        |WHERE cos >= $tau ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Greedy keep-lowest-id near-dup rollup over the verified LSH
+    * pairs (twin of [[graft.ops.Dedup.embeddingNearDup]]).
+    */
+  private def embedNearDupSql(dim: Int, tables: Int, planes: Int,
+      tau: Double, maxBucket: Int): String =
+    s"""${lshPairsCtes(dim, tables, planes, maxBucket)}
+       |SELECT id_b AS doc_id, min(id_a) AS keep_id, count(*) AS n_smaller,
+       |       round(max(cos), 6) AS max_cos
+       |FROM res WHERE cos >= $tau
+       |GROUP BY id_b ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val stop = Tokenizer.stopListSql
@@ -1588,6 +1672,54 @@ object SparkEntry {
            |SELECT pid, id AS vec_id, rank::INT AS rank, round(cos, 6) AS cos
            |FROM ranked WHERE rank <= 10 ORDER BY pid, rank""".stripMargin,
       "q_ann_lsh_multi" -> annLshMultiSql(64, 4, 6, 0.4, 200),
+      "q_embed_neardup" -> embedNearDupSql(64, 4, 6, 0.4, 200),
+      // KMV replay: the k smallest distinct hashes per group are a
+      // deterministic set, so ORDER BY h + row_number reproduces the
+      // sketch exactly; estimate arithmetic mirrors KmvSketch.estimate
+      "q_kmv_distinct" ->
+        s"""WITH tk AS (
+           |  SELECT lang, unnest($tkLenSql) AS term FROM documents),
+           |h AS (SELECT DISTINCT lang, ${Hashing.hash32Sql("term")} AS h FROM tk),
+           |r AS (SELECT lang, h,
+           |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+           |      FROM h),
+           |ag AS (
+           |  SELECT lang,
+           |         count(*) AS exact_distinct,
+           |         count(*) FILTER (WHERE rn <= $KmvK) AS n_mins,
+           |         max(h) FILTER (WHERE rn <= $KmvK) AS kth0
+           |  FROM r GROUP BY lang)
+           |SELECT lang, exact_distinct, n_mins,
+           |       CASE WHEN n_mins >= $KmvK THEN kth0 END AS kth,
+           |       round(CASE WHEN n_mins < $KmvK THEN n_mins::DOUBLE
+           |                  ELSE ${(KmvK - 1).toDouble * 4294967296.0} / kth0 END, 6)
+           |         AS kmv_est
+           |FROM ag ORDER BY lang""".stripMargin,
+      "q_train_split" ->
+        s"""WITH s AS (
+           |  SELECT lang, ${Sampling.splitAssignSql("doc_id", 9000, 500)} AS split,
+           |         n_chars
+           |  FROM documents)
+           |SELECT lang, split, count(*) AS n, sum(n_chars)::BIGINT AS n_chars
+           |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+      // global-window replay of the two-level prefix sum (identical by
+      // associativity; the Spark side never runs this single-partition
+      // shape)
+      "q_pack_sequences" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+           |             t -> length(t) > 0))::BIGINT AS n
+           |  FROM documents),
+           |c AS (SELECT doc_id, n,
+           |        (sum(n) OVER (ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT
+           |          AS gstart
+           |      FROM t),
+           |b AS (SELECT doc_id, n, (gstart // $PackBudget)::BIGINT AS bin FROM c)
+           |SELECT bin, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
+           |       min(doc_id) AS first_id, max(doc_id) AS last_id
+           |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
       "q_media_features" ->
         """WITH m AS (
           |  SELECT doc_id AS media_id,

@@ -37,5 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshBuckets(args(0), intLit(args(1), "dim"),
           intLit(args(2), "tables"), intLit(args(3), "planes"))
       }))
+    // aggregate functions resolve unwrapped: the analyzer's function
+    // resolution wraps a bare AggregateFunction in AggregateExpression
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kmv_sketch(hash, k) takes two args")
+        KmvSketch(args(0), intLit(args(1), "k"))
+      }))
   }
 }

@@ -25,6 +25,37 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(id).as("keep_id"))
       .filter(col("n") > 1)
 
+  /** Embedding-cosine near-duplicate detection — the semantic member
+    * of the dedup family (exact / MinHash / SimHash / n-gram /
+    * embedding): candidate pairs from the multi-table LSH scale path
+    * ([[Similarity.lshCosinePairsMulti]] — per-bucket joins, hot-bucket
+    * cap, exact-cosine verify ≥ tau fused into pair generation), then
+    * the standard greedy keep-lowest-id policy: a document is a
+    * duplicate iff it has ANY qualifying neighbor with a smaller id.
+    * One aggregation over the (bounded) verified-pair relation — no
+    * iterative connected components, no second corpus pass.
+    *
+    * @return (doc_id, keep_id, n_smaller, max_cos) — one row per
+    *         DROPPED doc: its lowest-id qualifying neighbor (the
+    *         survivor it deduplicates against), how many smaller
+    *         neighbors it had, and its strongest similarity
+    */
+  def embeddingNearDup(
+      emb: DataFrame,
+      id: Column,
+      vec: Column,
+      dim: Int,
+      tables: Int = 4,
+      planesPerTable: Int = 6,
+      tau: Double = 0.8,
+      maxBucketSize: Int = 10000): DataFrame =
+    Similarity.lshCosinePairsMulti(emb, id, vec, dim, tables, planesPerTable,
+        tau, maxBucketSize)
+      .groupBy(col("id_b").as("doc_id"))
+      .agg(min(col("id_a")).as("keep_id"),
+        count(lit(1)).as("n_smaller"),
+        max(col("cos")).as("max_cos"))
+
   /** Token n-gram shingles per document: (id, sh) with portable
     * 32-bit hashes. Shingles are hashed in the projection so no
     * downstream stage ever shuffles shingle strings — only fixed-width

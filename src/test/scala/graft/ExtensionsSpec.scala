@@ -83,6 +83,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("kmv_sketch is callable from SQL as a grouped aggregate") {
+    // 100 rows, 10 distinct values, k=4 → the 4 smallest distinct
+    val r = ext.sql(
+      """SELECT kmv_sketch(id % 10, 4) AS m FROM range(100)""")
+      .collect()(0).getSeq[Long](0)
+    assert(r == Seq(0L, 1L, 2L, 3L))
+    // grouped: per-group sketches stay independent
+    val g = ext.sql(
+      """SELECT id % 2 AS grp, kmv_sketch(id, 3) AS m
+        |FROM range(20) GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(row => (row.getLong(0), row.getSeq[Long](1)))
+    assert(g.toSeq == Seq((0L, Seq(0L, 2L, 4L)), (1L, Seq(1L, 3L, 5L))))
+  }
+
   test("lsh_buckets rejects a non-literal shape argument") {
     val e = intercept[Exception] {
       ext.sql("SELECT lsh_buckets(cast(array(1.0) as array<float>), 1, 1, id) FROM range(1)").collect()

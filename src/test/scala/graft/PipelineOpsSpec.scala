@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.KmvSketch
+import graft.ops.{Dedup, Hashing, Pack, Sampling, Similarity}
+
+/** Training-pipeline operators added in round 4: KMV distinct sketch,
+  * deterministic hash split/sampling, sequence packing, embedding
+  * near-dup. Each test pins the property the driver-gate DuckDB twin
+  * relies on (determinism / partition invariance / closed-form
+  * reference equivalence).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- KMV
+
+  test("kmv: below k the sketch IS the distinct set and the estimate is exact") {
+    import spark.implicits._
+    val df = (1 to 30).map(i => (i % 10).toLong).toDF("h")
+    val row = df.agg(KmvSketch.mins(col("h"), 16).as("m"))
+      .select(col("m"), KmvSketch.estimate(col("m"), 16).as("e"))
+      .head()
+    assert(row.getSeq[Long](0) == (0L until 10L))
+    assert(row.getDouble(1) == 10.0)
+  }
+
+  test("kmv: bounded state, sorted output, partition-invariant, matches sort-limit oracle") {
+    import spark.implicits._
+    val k = 64
+    val hashed = (1 to 5000).map(i => s"tok$i").toDF("t")
+      .select(Hashing.hash32(col("t")).as("h"))
+    def sketch(parts: Int): Seq[Long] =
+      hashed.repartition(parts).agg(KmvSketch.mins(col("h"), k))
+        .head().getSeq[Long](0)
+    val s1 = sketch(1)
+    val s8 = sketch(8)
+    assert(s1 == s8, "sketch must not depend on partitioning")
+    assert(s1.size == k)
+    assert(s1 == s1.sorted)
+    // the de-sketched reference: k smallest distinct hashes
+    val oracle = hashed.distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == oracle)
+    // estimator sanity: k=64 → ~12.5% stderr; 40% is a safe assert band
+    val est = hashed.agg(KmvSketch.mins(col("h"), k).as("m"))
+      .select(KmvSketch.estimate(col("m"), k)).head().getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est too far from 5000")
+  }
+
+  test("kmv: dedups within and across partials (duplicates never evict)") {
+    import spark.implicits._
+    // 8 distinct values, each repeated 100x, k=8 → all survive exactly once
+    val df = (1 to 800).map(i => (i % 8).toLong * 1000L).toDF("h").repartition(7)
+    val m = df.agg(KmvSketch.mins(col("h"), 8)).head().getSeq[Long](0)
+    assert(m == (0L until 8L).map(_ * 1000L))
+  }
+
+  // ------------------------------------------------ sampling / split
+
+  test("split assignment is total, deterministic, and fraction-faithful") {
+    import spark.implicits._
+    val ids = (0L until 20000L).toDF("id")
+    val counts = ids
+      .select(Sampling.splitAssign(col("id"), 9000, 500).as("split"))
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000L)
+    // hash32 is uniform: 90/5/5 ± 1.5 percentage points at n=20000
+    assert(math.abs(counts("train") / 20000.0 - 0.90) < 0.015)
+    assert(math.abs(counts("val") / 20000.0 - 0.05) < 0.015)
+    assert(math.abs(counts("test") / 20000.0 - 0.05) < 0.015)
+    // deterministic: re-evaluation identical under different partitioning
+    val a = ids.select(col("id"), Sampling.splitAssign(col("id"), 9000, 500).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = ids.repartition(13)
+      .select(col("id"), Sampling.splitAssign(col("id"), 9000, 500).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("hash samples are nested: fraction 0.1 ⊆ fraction 0.3 under one salt") {
+    import spark.implicits._
+    val ids = (0L until 5000L).toDF("id")
+    val s10 = ids.filter(Sampling.hashSample(col("id"), 0.1))
+      .collect().map(_.getLong(0)).toSet
+    val s30 = ids.filter(Sampling.hashSample(col("id"), 0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(s10.subsetOf(s30))
+    assert(math.abs(s10.size / 5000.0 - 0.1) < 0.02)
+    assert(math.abs(s30.size / 5000.0 - 0.3) < 0.02)
+  }
+
+  // ------------------------------------------------------ packing
+
+  test("packSequences equals the naive global window and is chunk/partition-invariant") {
+    import spark.implicits._
+    // sparse ids (packing must follow id order, not density), varied sizes
+    val docs = (0 until 500)
+      .map(i => (i.toLong * 7 + (i % 3), (i % 97 + 1).toLong))
+      .toDF("id", "n")
+    def packed(chunkSize: Long, parts: Int): Seq[(Long, Long, Long, Long)] =
+      Pack.packSequences(docs.repartition(parts), col("id"), col("n"),
+          budget = 256, chunkSize = chunkSize)
+        .orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // chunkSize larger than the id space = exactly the naive global prefix sum
+    val reference = packed(Long.MaxValue, 1)
+    assert(packed(64L, 8) == reference)
+    assert(packed(7L, 3) == reference)
+    // closed-form invariants of the reference itself
+    val byId = reference.sortBy(_._1)
+    assert(byId.head._3 == 0L, "first doc starts at offset 0")
+    byId.sliding(2).foreach { case Seq((_, n1, g1, _), (_, _, g2, _)) =>
+      assert(g2 == g1 + n1, "offsets are the exclusive prefix sum")
+    case _ => ()
+    }
+    assert(byId.map(_._4) == byId.map(_._4).sorted, "bins nondecreasing in id")
+    reference.foreach { case (_, n, g, bin) => assert(bin == g / 256) }
+  }
+
+  test("binSummary bins carry contiguous id ranges and conserve tokens") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, (i % 50 + 10))).toDF("id", "n")
+    val packed = Pack.packSequences(docs, col("id"), col("n"), budget = 512)
+    val bins = Pack.binSummary(packed).orderBy("bin").collect()
+    val totalTokens = docs.agg(sum("n")).head().getLong(0)
+    assert(bins.map(_.getLong(2)).sum == totalTokens)
+    assert(bins.map(_.getLong(1)).sum == 300L)
+    // id ranges tile without overlap
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3))
+      case _ => ()
+    }
+  }
+
+  // ------------------------------------------- embedding near-dup
+
+  test("embeddingNearDup = greedy min-id rollup of the verified LSH pairs") {
+    import spark.implicits._
+    val dim = 8
+    // three exact clone families + distinct background vectors
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => math.sin(seed * 31 + d * 7).toFloat)
+    val rows = (0 until 40).map { i =>
+      val family = if (i % 10 == 0) 0 else if (i % 10 == 5) 1 else i + 100
+      (i.toLong, vec(family))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.lshCosinePairsMulti(emb, col("vec_id"), col("embedding"),
+        dim, tables = 4, planesPerTable = 3, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty, "clone families must collide")
+    val nd = Dedup.embeddingNearDup(emb, col("vec_id"), col("embedding"),
+        dim, tables = 4, planesPerTable = 3, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val expected = pairs.groupBy(_._2).map { case (b, ps) =>
+      (b, ps.map(_._1).min, ps.size.toLong)
+    }.toSet
+    assert(nd.toSet == expected)
+    // every clone family keeps its lowest id and drops the rest
+    val dropped = nd.map(_._1).toSet
+    assert(!dropped.contains(0L), "id 0 has no smaller neighbor, never drops")
+    assert(Set(10L, 20L, 30L, 15L, 25L, 35L).subsetOf(dropped))
+  }
+}
