@@ -891,6 +891,18 @@ object SparkEntry {
           chunkSize = 512))
         .orderBy("bin")
     }),
+    // per-stratum mixture sampling: language-balanced keep fractions,
+    // deterministic per (salt, doc_id) — the pretraining data-mixture
+    // primitive (downsample over-represented langs, keep rare whole)
+    "q_mixture_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("lang"),
+          Sampling.mixtureSample(col("doc_id"), col("lang"), MixtureBp).as("keep"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    }),
     // embedding-cosine near-dup: LSH-bucketed pair generation + greedy
     // keep-lowest-id dedup policy over the verified pairs
     "q_embed_neardup" -> ((s, dir) => {
@@ -908,6 +920,11 @@ object SparkEntry {
   private val KmvK = 64
   /** Token budget per packed bin for q_pack_sequences. */
   private val PackBudget = 2048L
+  /** Per-language keep fractions (basis points) for q_mixture_sample;
+    * es is deliberately absent → kept at 0 (allowlist semantics).
+    */
+  private val MixtureBp =
+    Map("en" -> 2500, "de" -> 10000, "fr" -> 7500, "zh" -> 5000)
 
   // tokens with length filter only (the dedup/fingerprint paths do
   // not stop-word-filter, matching Dedup.shingles / TextOps.fingerprint)
@@ -1695,6 +1712,14 @@ object SparkEntry {
            |                  ELSE ${(KmvK - 1).toDouble * 4294967296.0} / kth0 END, 6)
            |         AS kmv_est
            |FROM ag ORDER BY lang""".stripMargin,
+      "q_mixture_sample" ->
+        s"""WITH s AS (
+           |  SELECT lang,
+           |         (${Sampling.mixtureSampleSql("doc_id", "lang", MixtureBp)}) AS keep
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_total,
+           |       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+           |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
       "q_train_split" ->
         s"""WITH s AS (
            |  SELECT lang, ${Sampling.splitAssignSql("doc_id", 9000, 500)} AS split,

@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   * window by associativity of addition — the PackSpec invariance test
   * pins this against a one-partition reference and across chunkSize
   * choices.
+  *
+  * Cost note: the (id, n) projection is consumed twice (per-chunk
+  * windows + chunk totals). The projection is 16 bytes/row, so the
+  * second scan is trivial UNLESS `nTokens` is computed from raw text
+  * in the same plan — at 100 TB, feed this operator a materialized
+  * token-count table (the corpus-stats build already produces per-doc
+  * dl) rather than a tokenize-on-read expression, or persist the
+  * projection.
   */
 object Pack {
 

@@ -56,4 +56,36 @@ object Sampling {
        |     WHEN $b < ${trainBp + valBp} THEN 'val'
        |     ELSE 'test' END""".stripMargin
   }
+
+  /** Mixture sampling: a per-stratum keep fraction (basis points) —
+    * how a pretraining data mixture downsamples over-represented
+    * sources/languages while keeping rare ones whole. Strata absent
+    * from the map keep nothing (explicit-allowlist semantics).
+    * Deterministic per (salt, key) like every sampler here, so the
+    * mixture is stable under appends and re-runs; per-stratum samples
+    * are nested across fraction changes (same salt), so growing a
+    * stratum's share only ADDS documents.
+    */
+  def mixtureSample(
+      key: Column,
+      stratum: Column,
+      fractionsBp: Map[String, Int],
+      salt: String = "mix"): Column = {
+    fractionsBp.values.foreach(bp =>
+      require(bp >= 0 && bp <= 10000, s"basis points must be in [0,10000], got $bp"))
+    val thr = fractionsBp.foldLeft(lit(0)) { case (acc, (s, bp)) =>
+      when(stratum === s, lit(bp)).otherwise(acc)
+    }
+    bucket10k(key, salt) < thr
+  }
+
+  def mixtureSampleSql(
+      keyExpr: String,
+      stratumExpr: String,
+      fractionsBp: Map[String, Int],
+      salt: String = "mix"): String = {
+    val whens = fractionsBp.toSeq.sortBy(_._1)
+      .map { case (s, bp) => s"WHEN '$s' THEN $bp" }.mkString(" ")
+    s"${bucket10kSql(keyExpr, salt)} < (CASE $stratumExpr $whens ELSE 0 END)"
+  }
 }

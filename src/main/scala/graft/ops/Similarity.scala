@@ -360,6 +360,52 @@ object Similarity {
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incremental append to a persisted IVF index — the ANN analog of
+    * the posting index's `appendBuild` (and of FAISS's `index.add`):
+    * new vectors are assigned against the STORED centroids (the
+    * routing structure never changes, so existing lists, the driver
+    * centroid cache, and every in-flight probe stay valid) and
+    * appended to their inverted lists. Cost is one broadcast argmax
+    * over the NEW batch plus an id anti-join against only the cid
+    * partitions the batch routes to — never a full-index rewrite.
+    *
+    * Idempotent by construction: already-present ids are anti-joined
+    * away, so re-running after a torn append (parquet job commit is
+    * per-attempt, not transactional across cid dirs) converges to the
+    * complete state instead of duplicating rows. A reader racing the
+    * append sees a prefix of the new lists — for ANN that is a
+    * transient recall dip, not corruption.
+    *
+    * Centroid drift note: appends reuse the build-time quantizer, so
+    * a corpus whose distribution shifts far from the original sample
+    * degrades list balance (the standard IVF tradeoff); re-train by
+    * rebuilding with [[ivfWrite]] when skew warrants it.
+    *
+    * @return number of genuinely new vectors appended
+    */
+  def ivfAppend(
+      spark: SparkSession,
+      dir: String,
+      newVecs: DataFrame,
+      id: Column,
+      vec: Column): Long = {
+    val (lists, cents) = ivfRead(spark, dir)
+    val asg = ivfAssign(newVecs, id, vec, cents)
+    // routed cids are bounded by the centroid count; pushing them as a
+    // static IN-filter prunes the untouched list dirs from the
+    // anti-join's scan, same trick as ivfTopKPruned
+    val newCids = asg.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (newCids.isEmpty) return 0L
+    val existingIds = lists.filter(col("cid").isin(newCids: _*)).select(col("id"))
+    val fresh = asg.join(existingIds, Seq("id"), "left_anti")
+      .select(col("id"), col("cid"), col("vec"))
+    val obs = new org.apache.spark.sql.Observation(s"ivf-append-${System.nanoTime()}")
+    fresh.observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+    Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
+
   /** Read back a persisted IVF index as (assigned, centroids). When
     * the probe set is known, filter `assigned` with `cid isin(...)`
     * BEFORE any action so the partition filter prunes list dirs (the

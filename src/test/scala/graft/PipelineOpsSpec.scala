@@ -91,6 +91,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(s30.size / 5000.0 - 0.3) < 0.02)
   }
 
+  test("mixture sampling: allowlist strata, per-stratum fractions, nested growth") {
+    import spark.implicits._
+    val rows = (0L until 8000L).map(i => (i, if (i % 2 == 0) "en" else "rare"))
+    val df = rows.toDF("id", "lang")
+    val bp = Map("en" -> 2500, "rare" -> 10000)
+    val kept = df.filter(graft.ops.Sampling.mixtureSample(col("id"), col("lang"), bp))
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") == 4000L, "bp=10000 keeps the whole stratum")
+    assert(math.abs(kept("en") / 4000.0 - 0.25) < 0.03)
+    // absent stratum keeps nothing
+    val none = df.filter(graft.ops.Sampling.mixtureSample(col("id"), col("lang"),
+      Map("other" -> 10000))).count()
+    assert(none == 0L)
+    // growing a stratum's share only ADDS documents (same salt)
+    val at25 = df.filter(graft.ops.Sampling.mixtureSample(col("id"), col("lang"), bp))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val at60 = df.filter(graft.ops.Sampling.mixtureSample(col("id"), col("lang"),
+      bp.updated("en", 6000))).select("id").collect().map(_.getLong(0)).toSet
+    assert(at25.subsetOf(at60))
+  }
+
   // ------------------------------------------------------ packing
 
   test("packSequences equals the naive global window and is chunk/partition-invariant") {
@@ -162,5 +184,50 @@ class PipelineOpsSpec extends SparkSpec {
     val dropped = nd.map(_._1).toSet
     assert(!dropped.contains(0L), "id 0 has no smaller neighbor, never drops")
     assert(Set(10L, 20L, 30L, 15L, 25L, 35L).subsetOf(dropped))
+  }
+
+  // ------------------------------------------------- IVF append
+
+  test("ivfAppend: append ≡ assign-all under fixed centroids, idempotent, probe-parity") {
+    import spark.implicits._
+    def vec(i: Int): Seq[Float] =
+      (0 until 8).map(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f)
+    val all = (0 until 40).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val first = all.filter(col("vec_id") < 20)
+    val rest = all.filter(col("vec_id") >= 20)
+
+    val dir = tempDir("ivf-append")
+    Similarity.ivfWrite(first, col("vec_id"), col("embedding"), stride = 8L, dir)
+    val appended = Similarity.ivfAppend(spark, dir, rest,
+      col("vec_id"), col("embedding"))
+    assert(appended == 20L)
+
+    // lists after append == one-shot assignment of the full corpus
+    // against the SAME stored centroids
+    val (lists, cents) = Similarity.ivfRead(spark, dir)
+    val got = lists.select(col("id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.ivfAssign(all, col("vec_id"), col("embedding"), cents)
+      .select(col("id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.size == 40)
+
+    // re-running the same append is a no-op (torn-append recovery story)
+    assert(Similarity.ivfAppend(spark, dir, rest,
+      col("vec_id"), col("embedding")) == 0L)
+    assert(spark.read.parquet(s"$dir/lists").count() == 40L)
+
+    // the pruned serving path over the appended index equals the
+    // in-memory path over the full assignment
+    val probes = all.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pid"), col("id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val served = rows(Similarity.ivfTopKPruned(spark, dir, probes, nProbe = 2, k = 5))
+    val inMem = rows(Similarity.ivfTopKAssigned(
+      Similarity.ivfAssign(all, col("vec_id"), col("embedding"), cents),
+      cents, probes, nProbe = 2, k = 5))
+    assert(served == inMem && served.nonEmpty)
   }
 }
