@@ -14,10 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intLit(e: Expression, what: String): Int = e match {
+  private def intLit(fn: String, e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
-      s"lsh_buckets: $what must be an integer literal, got $other")
+      s"$fn: $what must be an integer literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -34,8 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 4,
           "lsh_buckets(vec, dim, tables, planes) takes four args")
-        LshBuckets(args(0), intLit(args(1), "dim"),
-          intLit(args(2), "tables"), intLit(args(3), "planes"))
+        LshBuckets(args(0), intLit("lsh_buckets", args(1), "dim"),
+          intLit("lsh_buckets", args(2), "tables"),
+          intLit("lsh_buckets", args(3), "planes"))
       }))
     // aggregate functions resolve unwrapped: the analyzer's function
     // resolution wraps a bare AggregateFunction in AggregateExpression
@@ -44,7 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "kmv_sketch(hash, k) takes two args")
-        KmvSketch(args(0), intLit(args(1), "k"))
+        KmvSketch(args(0), intLit("kmv_sketch", args(1), "k"))
       }))
   }
 }

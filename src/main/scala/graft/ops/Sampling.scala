@@ -30,8 +30,11 @@ object Sampling {
   /** Keep-predicate sampling `fraction` (rounded to basis points) of
     * keys. Deterministic: same (salt, key) always decides the same way.
     */
-  def hashSample(key: Column, fraction: Double, salt: String = "smp"): Column =
+  def hashSample(key: Column, fraction: Double, salt: String = "smp"): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
     bucket10k(key, salt) < lit(math.round(fraction * 10000))
+  }
 
   /** Train/val/test assignment by basis points (e.g. 9000/500 →
     * 90% / 5% / 5%): a total, disjoint, deterministic labeling.

@@ -390,20 +390,28 @@ object Similarity {
       id: Column,
       vec: Column): Long = {
     val (lists, cents) = ivfRead(spark, dir)
+    // the assignment feeds two actions (cid collect + the write), so
+    // persist it — batch-sized, never corpus-sized — to pay the
+    // broadcast argmax exactly once
     val asg = ivfAssign(newVecs, id, vec, cents)
-    // routed cids are bounded by the centroid count; pushing them as a
-    // static IN-filter prunes the untouched list dirs from the
-    // anti-join's scan, same trick as ivfTopKPruned
-    val newCids = asg.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    if (newCids.isEmpty) return 0L
-    val existingIds = lists.filter(col("cid").isin(newCids: _*)).select(col("id"))
-    val fresh = asg.join(existingIds, Seq("id"), "left_anti")
-      .select(col("id"), col("cid"), col("vec"))
-    val obs = new org.apache.spark.sql.Observation(s"ivf-append-${System.nanoTime()}")
-    fresh.observe(obs, count(lit(1)).as("n"))
-      .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
-    Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // routed cids are bounded by the centroid count; pushing them as
+      // a static IN-filter prunes the untouched list dirs from the
+      // anti-join's scan, same trick as ivfTopKPruned
+      val newCids = asg.select(col("cid")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (newCids.isEmpty) return 0L
+      val existingIds = lists.filter(col("cid").isin(newCids: _*)).select(col("id"))
+      val fresh = asg.join(existingIds, Seq("id"), "left_anti")
+        .select(col("id"), col("cid"), col("vec"))
+      val obs = new org.apache.spark.sql.Observation(s"ivf-append-${System.nanoTime()}")
+      fresh.observe(obs, count(lit(1)).as("n"))
+        .write.mode("append").partitionBy("cid").parquet(s"$dir/lists")
+      Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    } finally {
+      asg.unpersist()
+    }
   }
 
   /** Read back a persisted IVF index as (assigned, centroids). When
