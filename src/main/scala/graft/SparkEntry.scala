@@ -903,6 +903,26 @@ object SparkEntry {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("lang")
     }),
+    // end-to-end training-data pipeline showcase — the ops composing
+    // as a user would chain them: quality gate → fingerprint near-dup
+    // removal (keep lowest doc_id) → deterministic train split →
+    // token-budget sequence packing. Every stage is one of the
+    // library's gate-proven operators; the oracle replays the whole
+    // chain in one SQL statement.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("doc_id"), col("text"),
+        TextOps.wsTokenCount(col("text")).as("n"))
+      val q = base.filter(col("n") >= 10)
+      val keep = q.groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = q.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val train = deduped.filter(
+        Sampling.splitAssign(col("doc_id"), 9000, 500) === "train")
+      Pack.binSummary(Pack.packSequences(train, col("doc_id"), col("n"),
+          budget = PackBudget, chunkSize = 512))
+        .orderBy("bin")
+    }),
     // embedding-cosine near-dup: LSH-bucketed pair generation + greedy
     // keep-lowest-id dedup policy over the verified pairs
     "q_embed_neardup" -> ((s, dir) => {
@@ -1712,6 +1732,29 @@ object SparkEntry {
            |                  ELSE ${(KmvK - 1).toDouble * 4294967296.0} / kth0 END, 6)
            |         AS kmv_est
            |FROM ag ORDER BY lang""".stripMargin,
+      "q_pipeline_e2e" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, text,
+           |         len(list_filter(regexp_split_to_array(text, '\\s+'),
+           |             t -> length(t) > 0))::BIGINT AS n
+           |  FROM documents),
+           |q AS (SELECT * FROM base WHERE n >= 10),
+           |keep AS (
+           |  SELECT min(doc_id) AS doc_id FROM q
+           |  GROUP BY md5(array_to_string(list_sort(list_distinct($tkLenSql)), ' '))),
+           |dd AS (SELECT doc_id, n FROM q
+           |       WHERE doc_id IN (SELECT doc_id FROM keep)),
+           |tr AS (SELECT doc_id, n FROM dd
+           |       WHERE (${Sampling.splitAssignSql("doc_id", 9000, 500)}) = 'train'),
+           |c AS (SELECT doc_id, n,
+           |        (sum(n) OVER (ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)::BIGINT
+           |          AS gstart
+           |      FROM tr),
+           |b AS (SELECT doc_id, n, (gstart // $PackBudget)::BIGINT AS bin FROM c)
+           |SELECT bin, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
+           |       min(doc_id) AS first_id, max(doc_id) AS last_id
+           |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
       "q_mixture_sample" ->
         s"""WITH s AS (
            |  SELECT lang,
