@@ -161,4 +161,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[java.sql.Timestamp]("window_start")
       .getTime % 3600000L == 0L))
   }
+
+  test("stateful sessionization (mapGroupsWithState) matches the batch gap rule across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    import Sessionize.{SessionCounts, SessionEvent}
+
+    // 6 users × 20 events; every 5th event jumps >30 min → 4 sessions
+    val events = (for {
+      u <- 0L until 6L
+      i <- 0L until 20L
+    } yield SessionEvent(u, i, u * 10 + i * 600 + (i / 5) * 10000)).toVector
+
+    // the batch rule (q_sessionize's window plan) in closed form
+    val expected: Map[Long, (Long, Long)] =
+      events.groupBy(_.user_id).map { case (u, es) =>
+        val sorted = es.sortBy(e => (e.tsSec, e.event_id))
+        var last = Long.MinValue
+        var n = 0L
+        sorted.foreach { e =>
+          if (last == Long.MinValue || e.tsSec - last > 1800L) n += 1
+          last = e.tsSec
+        }
+        u -> (n, es.size.toLong)
+      }
+    assert(expected.values.forall(_._1 == 4L), "fixture must produce multi-session users")
+
+    def run(chunks: Seq[Seq[SessionEvent]], name: String): Map[Long, (Long, Long)] = {
+      val input = MemoryStream[SessionEvent]
+      val q = Sessionize.sessionize(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+      // counts are monotone per user → the max-n_events row is final
+      spark.sql(s"SELECT * FROM $name").as[SessionCounts].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rows) =>
+          val f = rows.maxBy(_.n_events)
+          u -> (f.n_sessions, f.n_events)
+        }
+    }
+
+    // chronological chunking (the cross-batch contract) in 3 batches
+    val chunked = run(events.sortBy(_.tsSec).grouped(events.size / 3 + 1).toSeq,
+      "sess_chunked")
+    assert(chunked == expected, "3-batch delivery must equal the batch rule")
+    // single-batch delivery: identical — state fold is split-invariant
+    val oneShot = run(Seq(events), "sess_oneshot")
+    assert(oneShot == expected, "single-batch delivery must equal the batch rule")
+  }
 }
