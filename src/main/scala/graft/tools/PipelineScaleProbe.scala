@@ -125,6 +125,17 @@ object PipelineScaleProbe {
         Pack.binSummary(Pack.packSequences(turns, col("id"),
           TextOps.wsTokenCount(col("text")), budget = 2048)).count()
       }
+      // the Pack scaladoc's production shape: token counts come from a
+      // materialized table (16 bytes/row), so the double consumption
+      // of the (id, n) projection stops re-tokenizing — this times the
+      // prefix-sum operator itself (materialization is untimed)
+      val countsPath = freshDir(s"counts-$cores")
+      turns.select(col("id"), TextOps.wsTokenCount(col("text")).as("n"))
+        .write.mode("overwrite").parquet(countsPath)
+      time("pack_over_materialized_counts") {
+        Pack.binSummary(Pack.packSequences(s.read.parquet(countsPath),
+          col("id"), col("n"), budget = 2048)).count()
+      }
       s.stop()
     }
   }
