@@ -891,6 +891,21 @@ object SparkEntry {
           chunkSize = 512))
         .orderBy("bin")
     }),
+    // heavy hitters: top-5 most frequent (stop-filtered) terms per
+    // language — per-stratum top-k ranking, the "what dominates each
+    // slice" corpus-analysis op; ties break (cf desc, term asc)
+    "q_heavy_hitters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tf = docs.select(col("lang"),
+          explode(Tokenizer.tokensCol(col("text"))).as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("cf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(desc("cf"), asc("term"))
+      tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("term"), col("cf"))
+        .orderBy("lang", "rank")
+    }),
     // per-stratum mixture sampling: language-balanced keep fractions,
     // deterministic per (salt, doc_id) — the pretraining data-mixture
     // primitive (downsample over-represented langs, keep rare whole)
@@ -1755,6 +1770,19 @@ object SparkEntry {
            |SELECT bin, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
            |       min(doc_id) AS first_id, max(doc_id) AS last_id
            |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+      "q_heavy_hitters" ->
+        s"""WITH tk AS (
+           |  SELECT lang,
+           |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           |                x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}))
+           |           AS term
+           |  FROM documents),
+           |tf AS (SELECT lang, term, count(*) AS cf FROM tk GROUP BY lang, term),
+           |r AS (SELECT lang, term, cf,
+           |        row_number() OVER (PARTITION BY lang ORDER BY cf DESC, term) AS rank
+           |      FROM tf)
+           |SELECT lang, rank::INT AS rank, term, cf FROM r WHERE rank <= 5
+           |ORDER BY lang, rank""".stripMargin,
       "q_mixture_sample" ->
         s"""WITH s AS (
            |  SELECT lang,

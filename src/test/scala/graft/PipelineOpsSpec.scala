@@ -229,5 +229,10 @@ class PipelineOpsSpec extends SparkSpec {
       Similarity.ivfAssign(all, col("vec_id"), col("embedding"), cents),
       cents, probes, nProbe = 2, k = 5))
     assert(served == inMem && served.nonEmpty)
+
+    // empty batch: no write, no count change
+    assert(Similarity.ivfAppend(spark, dir, all.filter(col("vec_id") < 0),
+      col("vec_id"), col("embedding")) == 0L)
+    assert(spark.read.parquet(s"$dir/lists").count() == 40L)
   }
 }
