@@ -78,33 +78,13 @@ object SparkEntry {
       new SearchEngine(spark, docsIndexFor(spark, sfDir)))
 
   /** Index-backed BM25 top-N over documents as (orig doc_id, exact
-    * score) rows: routed WAND retrieve (rank-and-score-identical to
-    * the exhaustive oracle — EngineParitySpec + HybridServeSpec),
-    * then the BOUNDED hit set maps internal→original ids through the
-    * segment docs table with the same pushdown shape as
-    * SearchEngine.search: hits land on the driver first so shard-isin
-    * + doc_id-range predicates reach the docs scan (a broadcast hash
-    * join alone prunes nothing — at 10⁹ docs that full scan would be
-    * a per-query corpus-sized read), and the local-relation broadcast
-    * join refines exactly.
+    * score) rows — [[SearchEngine.retrieveMapped]] (the library's
+    * serving-side hybrid retriever) against the documents segment,
+    * keys inverted via [[Corpus.docIdFromConv]].
     */
   private def docsBm25TopN(
-      spark: SparkSession, sfDir: String, queryText: String, n: Int): Array[(Long, Double)] = {
-    import spark.implicits._
-    val eng = docsEngine(spark, sfDir)
-    val hitRows = eng.retrieve(queryText, n)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    if (hitRows.isEmpty) return Array.empty
-    val dps = eng.stats.docsPerShard
-    val hitShards = hitRows.map(_._1 / dps).distinct.toSeq
-    val (minId, maxId) = (hitRows.map(_._1).min, hitRows.map(_._1).max)
-    SegmentIO.readDocs(spark, docsIndexFor(spark, sfDir))
-      .filter(col("shard").isin(hitShards: _*) && col("doc_id").between(minId, maxId))
-      .join(broadcast(hitRows.toSeq.toDF("doc_id", "score")), "doc_id")
-      .select(Corpus.docIdFromConv(col("conv_id")).as("id"), col("score"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-      .sortBy { case (id, sc) => (-sc, id) }
-  }
+      spark: SparkSession, sfDir: String, queryText: String, n: Int): Array[(Long, Double)] =
+    docsEngine(spark, sfDir).retrieveMapped(queryText, n, Corpus.docIdFromConv)
 
   /** Persisted IVF ANN index over the embeddings table (q_ann_ivf's
     * serving side + hybrid's semantic retriever): inverted lists
@@ -130,15 +110,58 @@ object SparkEntry {
       dir
     })
 
+  /** Append-path IVF gate fixture: a persisted index built over the
+    * corpus MINUS a deterministic holdout (vec_id ≡ 7 mod 10), then
+    * [[Similarity.ivfAppend]]ed with the holdout. Post-append lists
+    * are content-equal to a full build because per-id assignment is
+    * independent rows and the holdout contains no centroid ids
+    * (stride multiples 25k mod 10 ∈ {0, 5}, never 7) — so the DuckDB
+    * twin replays assignment over the UNION corpus against the same
+    * stored-stride centroids. The second append call must observe 0
+    * fresh rows (idempotent re-append), asserted at build time: the
+    * gate thereby exercises append + idempotency + serve end-to-end,
+    * not just PipelineOpsSpec.
+    */
+  private val ivfAppendCache = TrieMap[String, String]()
+  private def ivfAppendedFor(spark: SparkSession, sfDir: String): String =
+    ivfAppendCache.getOrElseUpdate(sfDir, {
+      val dir = s"/tmp/graft-qivfapp-v1-s$IvfStride-" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes).map("%02x".format(_)).mkString.take(12)
+      if (!new java.io.File(s"$dir/_APPENDED").exists) {
+        // no marker = a previous attempt may have torn mid-append
+        // (parquet append commits per cid dir, not transactionally);
+        // rebuild from scratch rather than resume into unknown state
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(new java.io.File(dir))
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val holdout = pmod(col("vec_id"), lit(10)) === 7
+        Similarity.ivfWrite(emb.filter(!holdout),
+          col("vec_id"), col("embedding"), IvfStride, dir)
+        val n1 = Similarity.ivfAppend(spark, dir, emb.filter(holdout),
+          col("vec_id"), col("embedding"))
+        val n2 = Similarity.ivfAppend(spark, dir, emb.filter(holdout),
+          col("vec_id"), col("embedding"))
+        require(n1 > 0 && n2 == 0,
+          s"ivfAppend gate fixture: first append=$n1 (want >0), re-append=$n2 (want 0)")
+        new java.io.FileOutputStream(s"$dir/_APPENDED").close()
+      }
+      dir
+    })
+
   /** Pre-builds the per-sfDir query-side indexes (transcript BM25
-    * segment, documents BM25 segment, persisted IVF) — all no-ops when
-    * already on disk — so harnesses keep the one-time builds out of
-    * per-query timings.
+    * segment, documents BM25 segment, persisted IVF, appended-IVF
+    * fixture) — all no-ops when already on disk — so harnesses keep
+    * the one-time builds out of per-query timings.
     */
   def warmQueryIndex(spark: SparkSession, sfDir: String): Unit = {
     indexFor(spark, sfDir)
     docsIndexFor(spark, sfDir)
     ivfFor(spark, sfDir)
+    ivfAppendedFor(spark, sfDir)
     ()
   }
 
@@ -416,6 +439,21 @@ object SparkEntry {
       val probes = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
       Similarity.ivfTopKPruned(s, ivfFor(s, dir), probes, nProbe = 4, k = 10)
+        .select(col("pid"), col("id").as("vec_id"), col("rank"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("pid", "rank")
+    }),
+    // IVF incremental append, gated end-to-end: the fixture index was
+    // built WITHOUT the vec_id ≡ 7 (mod 10) holdout and then
+    // ivfAppend'ed with it (re-append asserted a no-op at build time);
+    // probes include an appended id (7, 17), and the DuckDB twin
+    // replays assignment over the UNION corpus — a lost or duplicated
+    // append hash-mismatches
+    "q_ann_ivf_append" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val probes = emb.filter(col("vec_id").isin(2L, 7L, 17L))
+        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+      Similarity.ivfTopKPruned(s, ivfAppendedFor(s, dir), probes, nProbe = 4, k = 10)
         .select(col("pid"), col("id").as("vec_id"), col("rank"),
           round(col("cos"), 6).as("cos"))
         .orderBy("pid", "rank")
@@ -1164,6 +1202,44 @@ object SparkEntry {
        |       JOIN embeddings b ON b.vec_id = id_b)""".stripMargin
   }
 
+  /** IVF probe replay (assignment → routing → rank) over the FULL
+    * embeddings table with the stored-stride centroids — the one twin
+    * for both the plain persisted index (q_ann_ivf) and the
+    * append-fixture index (q_ann_ivf_append, whose post-append lists
+    * are content-equal to a full build by construction).
+    */
+  private def annIvfSql(probeWhere: String): String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id % 25 = 0),
+       |asg AS (
+       |  SELECT id, cid FROM (
+       |    SELECT a.vec_id AS id, c.cid,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${cosExpr("a.embedding", "c.cvec")} DESC, c.cid) AS rn
+       |    FROM embeddings a CROSS JOIN cents c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+       |  WHERE $probeWhere),
+       |pl AS (
+       |  SELECT pid, cid FROM (
+       |    SELECT p.pid, c.cid,
+       |           row_number() OVER (PARTITION BY p.pid
+       |             ORDER BY ${cosExpr("p.pvec", "c.cvec")} DESC, c.cid) AS rn
+       |    FROM probes p CROSS JOIN cents c) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT pl.pid, asg.id, ${cosExpr("e.embedding", "p.pvec")} AS cos
+       |  FROM asg JOIN pl ON asg.cid = pl.cid
+       |       JOIN embeddings e ON e.vec_id = asg.id
+       |       JOIN probes p ON p.pid = pl.pid
+       |  WHERE asg.id <> pl.pid),
+       |ranked AS (
+       |  SELECT pid, id, cos,
+       |         row_number() OVER (PARTITION BY pid ORDER BY cos DESC, id) AS rank
+       |  FROM cand)
+       |SELECT pid, id AS vec_id, rank::INT AS rank, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 10 ORDER BY pid, rank""".stripMargin
+
   private def annLshMultiSql(dim: Int, tables: Int, planes: Int,
       tau: Double, maxBucket: Int): String =
     s"""${lshPairsCtes(dim, tables, planes, maxBucket)}
@@ -1692,37 +1768,11 @@ object SparkEntry {
            |       JOIN hprobes p ON p.pid = hpl.pid
            |  WHERE asg.id <> hpl.pid
            |  ORDER BY cos DESC, doc_id LIMIT 50)""".stripMargin),
-      "q_ann_ivf" ->
-        s"""WITH cents AS (
-           |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-           |  WHERE vec_id % 25 = 0),
-           |asg AS (
-           |  SELECT id, cid FROM (
-           |    SELECT a.vec_id AS id, c.cid,
-           |           row_number() OVER (PARTITION BY a.vec_id
-           |             ORDER BY ${cosExpr("a.embedding", "c.cvec")} DESC, c.cid) AS rn
-           |    FROM embeddings a CROSS JOIN cents c) WHERE rn = 1),
-           |probes AS (
-           |  SELECT vec_id AS pid, embedding AS pvec FROM embeddings
-           |  WHERE vec_id < 3),
-           |pl AS (
-           |  SELECT pid, cid FROM (
-           |    SELECT p.pid, c.cid,
-           |           row_number() OVER (PARTITION BY p.pid
-           |             ORDER BY ${cosExpr("p.pvec", "c.cvec")} DESC, c.cid) AS rn
-           |    FROM probes p CROSS JOIN cents c) WHERE rn <= 4),
-           |cand AS (
-           |  SELECT pl.pid, asg.id, ${cosExpr("e.embedding", "p.pvec")} AS cos
-           |  FROM asg JOIN pl ON asg.cid = pl.cid
-           |       JOIN embeddings e ON e.vec_id = asg.id
-           |       JOIN probes p ON p.pid = pl.pid
-           |  WHERE asg.id <> pl.pid),
-           |ranked AS (
-           |  SELECT pid, id, cos,
-           |         row_number() OVER (PARTITION BY pid ORDER BY cos DESC, id) AS rank
-           |  FROM cand)
-           |SELECT pid, id AS vec_id, rank::INT AS rank, round(cos, 6) AS cos
-           |FROM ranked WHERE rank <= 10 ORDER BY pid, rank""".stripMargin,
+      "q_ann_ivf" -> annIvfSql("vec_id < 3"),
+      // same skeleton over the UNION corpus: the appended fixture's
+      // lists must be content-equal to a full build (holdout has no
+      // centroid ids), so only the probe set differs
+      "q_ann_ivf_append" -> annIvfSql("vec_id IN (2, 7, 17)"),
       "q_ann_lsh_multi" -> annLshMultiSql(64, 4, 6, 0.4, 200),
       "q_embed_neardup" -> embedNearDupSql(64, 4, 6, 0.4, 200),
       // KMV replay: the k smallest distinct hashes per group are a

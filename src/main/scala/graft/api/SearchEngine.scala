@@ -240,6 +240,57 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
   def round4(x: Double): Double =
     new JBigDecimal(x).setScale(4, RoundingMode.HALF_UP).doubleValue()
 
+  /** Bounded hit set → doc-store rows, with the serving path's
+    * pushdown shape: the hits are driver-resident (≤ MaxTopK by
+    * construction), so shard-isin + doc_id-range predicates reach the
+    * docs scan — shard dirs prune at the partition level, the id range
+    * at the row-group/page level (docs files are doc_id-sorted), and
+    * the local-relation broadcast join refines exactly. A broadcast
+    * hash join alone would prune nothing: at 10⁹ docs that full scan
+    * is a per-query corpus-sized read.
+    */
+  private def docsForHits(hitRows: Array[(Long, Double)]): DataFrame = {
+    val docs = SegmentIO.readDocs(spark, indexDir)
+    if (hitRows.isEmpty)
+      docs.join(broadcast(spark.emptyDataset[(Long, Double)]
+        .toDF("doc_id", "score")), "doc_id")
+    else {
+      val hitShards = hitRows.map(_._1 / stats.docsPerShard).distinct.toSeq
+      val (minId, maxId) = (hitRows.map(_._1).min, hitRows.map(_._1).max)
+      docs.filter($"shard".isin(hitShards: _*) && $"doc_id".between(minId, maxId))
+        .join(broadcast(hitRows.toSeq.toDF("doc_id", "score")), "doc_id")
+    }
+  }
+
+  /** Index-backed BM25 top-k as (caller-keyed id, exact score) — the
+    * serving-side retriever for hybrid fusion ([[graft.ops.Hybrid]]
+    * step 1) and any consumer keyed by an id recoverable from conv_id
+    * (e.g. a documents corpus indexed via `Corpus.documentsAsTurns`,
+    * inverted by `Corpus.docIdFromConv`). Routed WAND retrieve
+    * (rank-and-score-identical to the exhaustive oracle —
+    * EngineParitySpec, HybridServeSpec), then the BOUNDED hit set maps
+    * internal→caller ids through the segment docs table with
+    * [[docsForHits]]'s pushdown join. Ordered (score desc, id asc);
+    * scores exact (rounding is an output-boundary contract).
+    *
+    * @param idFromConv column mapping the segment's conv_id back to
+    *                   the caller's id space
+    */
+  def retrieveMapped(
+      queryText: String,
+      k: Int,
+      idFromConv: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      minScore: Double = 0.0,
+      conjunctive: Boolean = false): Array[(Long, Double)] = {
+    val hitRows = retrieve(queryText, k, minScore, conjunctive)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    if (hitRows.isEmpty) Array.empty
+    else docsForHits(hitRows)
+      .select(idFromConv(col("conv_id")).as("id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, sc) => (-sc, id) }
+  }
+
   def search(spec: QuerySpec): SearchResponse = {
     val t0 = System.nanoTime()
     // validation-mode preset (reference config/config.py:282-287)
@@ -255,28 +306,12 @@ class SearchEngine(spark: SparkSession, indexDir: String) {
     val effMinScore = if (spec.rerank) 0.0 else minScore
 
     // candidate set is bounded (kPrime ≤ MaxTopK), so land it on the
-    // driver first: the metadata join then PUSHES shard + doc_id-range
+    // driver first: docsForHits then pushes shard + doc_id-range
     // predicates into the doc-store scan instead of scanning the whole
-    // docs table per query (a broadcast hash join alone prunes
-    // nothing — at 10⁹ docs that full scan is the search path's last
-    // per-query corpus-sized read). Shard dirs prune at the partition
-    // level, the doc_id range at the row-group/page level (docs files
-    // are doc_id-sorted), and the local-relation broadcast join
-    // refines exactly — no extra Spark job for the broadcast.
+    // docs table per query.
     val hitRows = retrieve(spec.text, kPrime, effMinScore, spec.conjunctive)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
-
-    val docs = SegmentIO.readDocs(spark, indexDir)
-    var joined = {
-      if (hitRows.isEmpty) docs.join(broadcast(spark.emptyDataset[(Long, Double)]
-        .toDF("doc_id", "score")), "doc_id")
-      else {
-        val hitShards = hitRows.map(_._1 / stats.docsPerShard).distinct.toSeq
-        val (minId, maxId) = (hitRows.map(_._1).min, hitRows.map(_._1).max)
-        docs.filter($"shard".isin(hitShards: _*) && $"doc_id".between(minId, maxId))
-          .join(broadcast(hitRows.toSeq.toDF("doc_id", "score")), "doc_id")
-      }
-    }
+    var joined = docsForHits(hitRows)
 
     // residual filters F2/F3 — post-retrieval, like the reference
     spec.tsAfter.foreach(a => joined = joined.filter($"ts" >= lit(a)))

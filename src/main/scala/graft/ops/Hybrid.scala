@@ -12,8 +12,9 @@ import graft.query.OracleEngine
   * Contract (deterministic, oracle-replayable):
   *   1. BM25 top-N over (id, text) — either the exhaustive oracle
   *      ([[bm25TopN]], the test twin) or, in serving, the WAND index
-  *      (rank-and-score-identical by EngineParitySpec; SparkEntry's
-  *      q_hybrid_fusion wires that path);
+  *      via `api.SearchEngine.retrieveMapped` (rank-and-score-identical
+  *      by EngineParitySpec; SparkEntry's q_hybrid_fusion wires that
+  *      path);
   *   2. cosine top-N against a probe vector over (id, vec) — either
   *      brute-force ([[cosineTopN]]) or the persisted-IVF probe path
   *      (Similarity.ivfTopKPruned) for the at-scale serving stack;

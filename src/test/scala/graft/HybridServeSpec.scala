@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.api.SearchEngine
-import graft.index.{IndexBuilder, SegmentIO}
+import graft.index.IndexBuilder
 import graft.ops.{Corpus, Hybrid}
 
 /** Index-backed hybrid serving guard: q_hybrid_fusion's keyword side
@@ -26,26 +26,14 @@ class HybridServeSpec extends SparkSpec {
   }
   private lazy val eng = new SearchEngine(spark, idxDir)
 
-  /** The exact serving shape SparkEntry.docsBm25TopN uses: routed WAND
-    * top-N collected to the driver, then shard-isin + doc_id-range
-    * pushdown into the docs scan with a local-relation broadcast join
-    * mapping internal→original ids.
+  /** The library serving retriever (SearchEngine.retrieveMapped —
+    * the exact path SparkEntry.docsBm25TopN serves through): routed
+    * WAND top-N collected to the driver, then shard-isin +
+    * doc_id-range pushdown into the docs scan with a local-relation
+    * broadcast join mapping internal→original ids.
     */
-  private def engineTopN(q: String, n: Int): Seq[(Long, Double)] = {
-    import spark.implicits._
-    val hitRows = eng.retrieve(q, n)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    if (hitRows.isEmpty) return Seq.empty
-    val dps = eng.stats.docsPerShard
-    val hitShards = hitRows.map(_._1 / dps).distinct.toSeq
-    val (minId, maxId) = (hitRows.map(_._1).min, hitRows.map(_._1).max)
-    SegmentIO.readDocs(spark, idxDir)
-      .filter(col("shard").isin(hitShards: _*) && col("doc_id").between(minId, maxId))
-      .join(broadcast(hitRows.toSeq.toDF("doc_id", "score")), "doc_id")
-      .select(Corpus.docIdFromConv(col("conv_id")).as("id"), col("score"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      .sortBy { case (id, sc) => (-sc, id) }
-  }
+  private def engineTopN(q: String, n: Int): Seq[(Long, Double)] =
+    eng.retrieveMapped(q, n, Corpus.docIdFromConv).toSeq
 
   test("engine-backed documents BM25 top-N is bit-identical to the oracle list") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
