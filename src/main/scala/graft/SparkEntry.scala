@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.api.SearchEngine
 import graft.index.{IndexBuilder, SegmentIO}
 import graft.model.QuerySpec
-import graft.ops.{Corpus, Dedup, EntityResolution, Hashing, Hybrid, Multimodal, Pack, Sampling, Similarity, TextOps}
+import graft.ops.{Corpus, Dedup, EntityResolution, Hashing, HeavyHitters, Hybrid, Multimodal, Pack, Sampling, Similarity, TextOps}
 import graft.query.OracleEngine
 import graft.tokenize.Tokenizer
 
@@ -185,12 +185,10 @@ object SparkEntry {
     * dfreq → scored(conv_id, turn_idx, score, nm).
     */
   private def bm25Ctes(terms: Seq[String]): String = {
-    val stop = Tokenizer.stopListSql
     s"""WITH ${Corpus.transcriptsCte},
        |toks AS (
        |  SELECT conv_id, turn_idx,
-       |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-       |                     x -> length(x) >= 3 AND x NOT IN $stop) AS tk
+       |         ${Tokenizer.duckdbTokensSql("text")} AS tk
        |  FROM t),
        |d AS (SELECT conv_id, turn_idx, len(tk) AS dl, tk FROM toks),
        |stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
@@ -944,6 +942,23 @@ object SparkEntry {
         .select(col("lang"), col("rank"), col("term"), col("cf"))
         .orderBy("lang", "rank")
     }),
+    // sketched heavy hitters beside the exact path (the q_kmv_distinct
+    // pattern): count-min bucket pre-aggregation bounds the first
+    // exchange to `buckets` rows per language, prunes sub-support
+    // buckets (one-sided error: no false negatives), and only then
+    // counts candidate terms exactly — the (lang, term) shuffle never
+    // carries the vocabulary's long tail. ub = the sketch's
+    // upper bound (bucket count) next to the exact cf.
+    "q_heavy_hitters_sketch" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val terms = docs.select(col("lang"),
+        explode(Tokenizer.tokensCol(col("text"))).as("term"))
+      HeavyHitters.sketchTopK(terms, col("lang"), col("term"),
+        buckets = HhBuckets, support = HhSupport, k = 5)
+        .select(col("stratum").as("lang"), col("rank"), col("term"),
+          col("cf"), col("ub"))
+        .orderBy("lang", "rank")
+    }),
     // per-stratum mixture sampling: language-balanced keep fractions,
     // deterministic per (salt, doc_id) — the pretraining data-mixture
     // primitive (downsample over-represented langs, keep rare whole)
@@ -986,6 +1001,18 @@ object SparkEntry {
         .select(col("doc_id"), col("keep_id"), col("n_smaller"),
           round(col("max_cos"), 6).as("max_cos"))
         .orderBy("doc_id")
+    }),
+    // transitive near-dup clusters over the SAME verified LSH pairs:
+    // bounded-round min-label propagation (cluster = min id of the
+    // connected component) — the group-id complement to
+    // q_embed_neardup's greedy drop policy; the DuckDB twin computes
+    // the closure with a recursive CTE instead
+    "q_embed_clusters" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val pairs = Similarity.lshCosinePairsMulti(emb, col("vec_id"),
+        col("embedding"), dim = 64, tables = 4, planesPerTable = 6,
+        tau = 0.4, maxBucketSize = 200)
+      Dedup.clusterIds(pairs).orderBy("id")
     })
   )
 
@@ -999,10 +1026,19 @@ object SparkEntry {
   private val MixtureBp =
     Map("en" -> 2500, "de" -> 10000, "fr" -> 7500, "zh" -> 5000)
 
+  /** q_heavy_hitters_sketch parameters: 16 buckets over a ~30-term
+    * vocabulary forces hash collisions (ub > cf rows visible in the
+    * output) while support=100 keeps every language stratum
+    * non-degenerate at both gate SFs; pruning behavior over a
+    * long-tail vocabulary is pinned by HeavyHittersSpec instead.
+    */
+  private val HhBuckets = 16
+  private val HhSupport = 100L
+
   // tokens with length filter only (the dedup/fingerprint paths do
-  // not stop-word-filter, matching Dedup.shingles / TextOps.fingerprint)
-  private val tkLenSql =
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) >= 3)"
+  // not stop-word-filter, matching Dedup.shingles / TextOps.fingerprint);
+  // built from the Tokenizer constants so the contract has one source
+  private val tkLenSql = Tokenizer.duckdbTokensLenOnlySql("text")
 
   private def minhashLshSql(n: Int, tau: Double): String = {
     val mins = (0 until 16)
@@ -1113,8 +1149,7 @@ object SparkEntry {
   private def hybridFusionSql(vtopCtes: String): String = {
     val terms = Tokenizer.tokenize("spark window vector merge").distinct.sorted.toSeq
     s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-       |              x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}) AS tk
+       |  SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS tk
        |  FROM documents),
        |d AS (SELECT doc_id, len(tk) AS dl, tk FROM toks),
        |stats AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM d),
@@ -1257,6 +1292,25 @@ object SparkEntry {
        |FROM res WHERE cos >= $tau
        |GROUP BY id_b ORDER BY doc_id""".stripMargin
 
+  /** Transitive-closure twin of [[graft.ops.Dedup.clusterIds]] over
+    * the verified LSH pairs: a recursive CTE enumerates (id,
+    * reachable) over the symmetric edge relation to a fixpoint
+    * (UNION dedups), then min(reachable) per id IS the component
+    * minimum — an independent formulation of the closure the Spark
+    * side reaches by min-label propagation.
+    */
+  private def embedClustersSql(dim: Int, tables: Int, planes: Int,
+      tau: Double, maxBucket: Int): String =
+    s"""${lshPairsCtes(dim, tables, planes, maxBucket).replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |p AS (SELECT id_a, id_b FROM res WHERE cos >= $tau),
+       |e AS (SELECT id_a AS src, id_b AS dst FROM p
+       |      UNION ALL SELECT id_b, id_a FROM p),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src)
+       |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val stop = Tokenizer.stopListSql
     Map(
@@ -1317,10 +1371,7 @@ object SparkEntry {
           |  FROM lineitem GROUP BY 1) d ON o_orderkey = d.l_orderkey
           |WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
       "q_fuzzy_overlap_join" -> {
-        val tkDistinct =
-          s"""list_distinct(list_filter(
-             |  regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-             |  x -> length(x) >= 3 AND x NOT IN $stop))""".stripMargin
+        val tkDistinct = s"list_distinct(${Tokenizer.duckdbTokensSql("text")})"
         s"""WITH a AS (SELECT doc_id AS id_a, $tkDistinct AS tk_a
            |           FROM documents WHERE doc_id < 25),
            |b AS (SELECT doc_id AS id_b, $tkDistinct AS tk_b
@@ -1519,10 +1570,7 @@ object SparkEntry {
           |       sum(n_ws_tokens)::BIGINT AS total_tokens
           |FROM m GROUP BY lang ORDER BY lang""".stripMargin),
       "q_entity_resolution" -> {
-        val tkOf = (e: String) =>
-          s"""list_distinct(list_filter(
-             |  regexp_split_to_array(lower($e), '[^a-z0-9]+'),
-             |  x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}))""".stripMargin
+        val tkOf = (e: String) => s"list_distinct(${Tokenizer.duckdbTokensSql(e)})"
         val normOf = (e: String) =>
           s"trim(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'))"
         s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 60),
@@ -1575,14 +1623,8 @@ object SparkEntry {
            |ORDER BY qid""".stripMargin
       },
       "q_entity_resolution_full" -> {
-        val tkOf = (e: String) =>
-          s"""list_distinct(list_filter(
-             |  regexp_split_to_array(lower($e), '[^a-z0-9]+'),
-             |  x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}))""".stripMargin
-        val rawTkOf = (e: String) =>
-          s"""list_filter(
-             |  regexp_split_to_array(lower($e), '[^a-z0-9]+'),
-             |  x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql})""".stripMargin
+        val tkOf = (e: String) => s"list_distinct(${Tokenizer.duckdbTokensSql(e)})"
+        val rawTkOf = (e: String) => Tokenizer.duckdbTokensSql(e)
         val normOf = (e: String) =>
           s"trim(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'))"
         s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 60),
@@ -1775,6 +1817,7 @@ object SparkEntry {
       "q_ann_ivf_append" -> annIvfSql("vec_id IN (2, 7, 17)"),
       "q_ann_lsh_multi" -> annLshMultiSql(64, 4, 6, 0.4, 200),
       "q_embed_neardup" -> embedNearDupSql(64, 4, 6, 0.4, 200),
+      "q_embed_clusters" -> embedClustersSql(64, 4, 6, 0.4, 200),
       // KMV replay: the k smallest distinct hashes per group are a
       // deterministic set, so ORDER BY h + row_number reproduces the
       // sketch exactly; estimate arithmetic mirrors KmvSketch.estimate
@@ -1822,10 +1865,7 @@ object SparkEntry {
            |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
       "q_heavy_hitters" ->
         s"""WITH tk AS (
-           |  SELECT lang,
-           |         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-           |                x -> length(x) >= 3 AND x NOT IN ${Tokenizer.stopListSql}))
-           |           AS term
+           |  SELECT lang, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term
            |  FROM documents),
            |tf AS (SELECT lang, term, count(*) AS cf FROM tk GROUP BY lang, term),
            |r AS (SELECT lang, term, cf,
@@ -1833,6 +1873,15 @@ object SparkEntry {
            |      FROM tf)
            |SELECT lang, rank::INT AS rank, term, cf FROM r WHERE rank <= 5
            |ORDER BY lang, rank""".stripMargin,
+      // sketch replay: HeavyHitters.sketchTopKSql is the Scala op's
+      // engine-portable SQL twin (one source for both forms)
+      "q_heavy_hitters_sketch" ->
+        s"""WITH tk AS (
+           |  SELECT lang AS stratum, unnest(${Tokenizer.duckdbTokensSql("text")}) AS term
+           |  FROM documents),
+           |${HeavyHitters.sketchTopKSql(HhBuckets, HhSupport)}
+           |SELECT stratum AS lang, rank::INT AS rank, term, cf, ub
+           |FROM rk WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
       "q_mixture_sample" ->
         s"""WITH s AS (
            |  SELECT lang,
@@ -1929,9 +1978,7 @@ object SparkEntry {
       "q_corpus_stats" ->
         s"""WITH ${Corpus.transcriptsCte},
            |d AS (
-           |  SELECT conv_id,
-           |         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-           |                         x -> length(x) >= 3 AND x NOT IN $stop)) AS dl
+           |  SELECT conv_id, len(${Tokenizer.duckdbTokensSql("text")}) AS dl
            |  FROM t)
            |SELECT count(*) AS num_docs, count(DISTINCT conv_id) AS num_convs,
            |       sum(dl)::BIGINT AS total_tokens,
@@ -1940,9 +1987,8 @@ object SparkEntry {
       "q_df_cf" ->
         s"""WITH ${Corpus.transcriptsCte},
            |tok AS (
-           |  SELECT conv_id, turn_idx, unnest(
-           |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-           |                x -> length(x) >= 3 AND x NOT IN $stop)) AS term
+           |  SELECT conv_id, turn_idx,
+           |         unnest(${Tokenizer.duckdbTokensSql("text")}) AS term
            |  FROM t)
            |SELECT term, count(DISTINCT (conv_id, turn_idx)) AS df, count(*) AS cf
            |FROM tok WHERE term IN ('spark','vector','merge','window','dup')
@@ -1958,9 +2004,7 @@ object SparkEntry {
           |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_hash""".stripMargin,
       "q_token_stats" ->
         s"""WITH tok AS (
-           |  SELECT doc_id,
-           |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-           |                     x -> length(x) >= 3 AND x NOT IN $stop) AS tk
+           |  SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS tk
            |  FROM documents WHERE doc_id < 100)
            |SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct
            |FROM tok ORDER BY doc_id""".stripMargin

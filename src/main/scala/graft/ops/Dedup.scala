@@ -35,10 +35,21 @@ object Dedup {
     * One aggregation over the (bounded) verified-pair relation — no
     * iterative connected components, no second corpus pass.
     *
+    * GREEDY, not transitive-closure, dedup: under a similarity chain
+    * a↔b↔c with cos(a,c) < tau, b and c are BOTH dropped (each has a
+    * smaller qualifying neighbor) and c's keep_id is b — a doc that
+    * was itself dropped. keep_id is therefore "the lowest-id
+    * qualifying NEIGHBOR", which under chains is not guaranteed to be
+    * a survivor; the survivor set is exactly {docs with no row here},
+    * which is what dedup needs. Pipelines that need the transitive
+    * group (one id per connected component) compose the same verified
+    * pairs with [[clusterIds]] instead. Chain behavior is pinned by
+    * PipelineOpsSpec.
+    *
     * @return (doc_id, keep_id, n_smaller, max_cos) — one row per
-    *         DROPPED doc: its lowest-id qualifying neighbor (the
-    *         survivor it deduplicates against), how many smaller
-    *         neighbors it had, and its strongest similarity
+    *         DROPPED doc: its lowest-id qualifying neighbor (possibly
+    *         itself dropped — see above), how many smaller neighbors
+    *         it had, and its strongest similarity
     */
   def embeddingNearDup(
       emb: DataFrame,
@@ -55,6 +66,72 @@ object Dedup {
       .agg(min(col("id_a")).as("keep_id"),
         count(lit(1)).as("n_smaller"),
         max(col("cos")).as("max_cos"))
+
+  /** Transitive near-dup CLUSTER ids over a verified pair relation
+    * (id_a, id_b): every doc appearing in a pair gets the MINIMUM doc
+    * id of its connected component as `cluster` — the partition-level
+    * dedup-group id that the greedy [[embeddingNearDup]] policy
+    * deliberately does not compute. Singleton docs (no pairs) are
+    * absent; they are their own cluster by definition.
+    *
+    * Bounded-round min-label propagation: each round every vertex
+    * takes the min label among itself and its neighbors, converging
+    * in (component diameter) rounds — near-dup components are
+    * shallow in practice (duplicates of a common source), so the
+    * default bound covers them; the round that changes nothing
+    * terminates the loop early, and hitting `maxRounds` without
+    * convergence throws rather than returning silently-partial
+    * clusters. Each round is one equi-join + one min-aggregation over
+    * the EDGE relation only (never the corpus), so cost is
+    * O(rounds · |pairs|) shuffle — the alternating large-star/
+    * small-star pointer-jumping variant (O(log n) rounds) is the
+    * upgrade path for adversarial diameters. Deterministic and
+    * partition-invariant: every step is a min over a set.
+    *
+    * The returned frame is persisted (its lineage is the whole
+    * propagation loop — recomputing it per downstream action would
+    * replay every round); callers unpersist when done.
+    */
+  def clusterIds(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // symmetric edge relation, self-loop per vertex: one join per
+    // round then covers "self and neighbors" in a single min
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val edges = p
+      .union(p.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .union(p.select(col("id_a"), col("id_a"))
+        .union(p.select(col("id_b"), col("id_b"))).distinct().toDF("src", "dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        val next = edges
+          .join(labels.select(col("id").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // convergence probe: any vertex whose label still shrank?
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") < col("o.label"))
+          .limit(1).count() > 0
+        labels.unpersist()
+        labels = next
+        converged = !changed
+        round += 1
+      }
+      require(converged,
+        s"clusterIds did not converge in $maxRounds rounds — component " +
+          "diameter exceeds the bound; raise maxRounds or switch to " +
+          "pointer-jumping")
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally {
+      edges.unpersist()
+    }
+  }
 
   /** Token n-gram shingles per document: (id, sh) with portable
     * 32-bit hashes. Shingles are hashed in the projection so no

@@ -63,4 +63,22 @@ object Tokenizer {
   /** SQL stop-list literal, usable in both Spark SQL and DuckDB. */
   def stopListSql: String =
     StopWordsSorted.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Form 3 of the contract: the DuckDB token-list fragment over a
+    * text expression — split/min-length/stop-list built from the SAME
+    * constants as [[tokenize]]/[[tokensCol]], so the 3-way contract
+    * has one SQL source (oracles interpolate this instead of copying
+    * the pattern inline).
+    */
+  def duckdbTokensSql(textExpr: String): String =
+    s"list_filter(regexp_split_to_array(lower($textExpr), '$SplitPattern'), " +
+      s"x -> length(x) >= $MinLen AND x NOT IN $stopListSql)"
+
+  /** Length-filter-only variant (no stop list) — the dedup /
+    * fingerprint / KMV paths tokenize without stop-word removal
+    * (matching `Dedup.shingles` / `TextOps.fingerprint`).
+    */
+  def duckdbTokensLenOnlySql(textExpr: String): String =
+    s"list_filter(regexp_split_to_array(lower($textExpr), '$SplitPattern'), " +
+      s"x -> length(x) >= $MinLen)"
 }

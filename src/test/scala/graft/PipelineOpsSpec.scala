@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.KmvSketch
-import graft.ops.{Dedup, Hashing, Pack, Sampling, Similarity}
+import graft.ops.{Dedup, Hashing, HeavyHitters, Pack, Sampling, Similarity}
 
 /** Training-pipeline operators added in round 4: KMV distinct sketch,
   * deterministic hash split/sampling, sequence packing, embedding
@@ -234,5 +234,101 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Similarity.ivfAppend(spark, dir, all.filter(col("vec_id") < 0),
       col("vec_id"), col("embedding")) == 0L)
     assert(spark.read.parquet(s"$dir/lists").count() == 40L)
+  }
+
+  // ------------------------------------------- heavy hitters (sketch)
+
+  test("heavy hitters sketch: equals exact top-k over support, ub bounds cf, partition-invariant") {
+    import spark.implicits._
+    // 2 strata; 5 heavy terms (60..100 occurrences each) over a
+    // 400-term singleton tail — the tail must prune at the bucket
+    // stage without ever perturbing a surviving term's exact count
+    val heavies = Seq("alpha" -> 100, "beta" -> 90, "gamma" -> 80,
+      "delta" -> 70, "epsilon" -> 60)
+    val rows = for {
+      st <- Seq("a", "b")
+      (t, n) <- heavies ++ (1 to 400).map(i => s"tail$i" -> 1)
+      _ <- 1 to n
+    } yield (st, t)
+    val terms = rows.toDF("stratum", "term")
+
+    def run(parts: Int) = HeavyHitters.sketchTopK(
+        terms.repartition(parts), col("stratum"), col("term"),
+        buckets = 256, support = 50L, k = 5)
+      .select(col("stratum"), col("rank"), col("term"), col("cf"), col("ub"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+    val got = run(1)
+    assert(got == run(13), "sketch result must not depend on partitioning")
+    // ub is the term's bucket count: >= its own cf always
+    assert(got.forall { case (_, _, _, cf, ub) => ub >= cf })
+    // no false negatives + exact counts: equals the exact top-k
+    // restricted to cf >= support
+    val exact = terms.groupBy("stratum", "term").agg(count(lit(1)).as("cf"))
+      .filter(col("cf") >= 50)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("stratum")).orderBy(desc("cf"), asc("term"))))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got.map(x => (x._1, x._2, x._3, x._4)) == exact)
+    assert(got.size == 10) // both strata fully ranked
+  }
+
+  // --------------------------------------- dedup chain semantics
+
+  test("embeddingNearDup chain a~b~c: greedy drop, keep_id may itself be dropped") {
+    import spark.implicits._
+    val dim = 8
+    // a ⟂ c, b = (a+c)/√2: cos(a,b) = cos(b,c) ≈ 0.707 ≥ τ=0.5,
+    // cos(a,c) = 0 < τ — the canonical chain
+    val a = Array.tabulate(dim)(d => if (d == 0) 1f else 0f)
+    val c = Array.tabulate(dim)(d => if (d == 1) 1f else 0f)
+    val b = Array.tabulate(dim)(d => (a(d) + c(d)) / math.sqrt(2).toFloat)
+    val emb = Seq((1L, a.toSeq), (2L, b.toSeq), (3L, c.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.lshCosinePairsMulti(emb, col("vec_id"),
+        col("embedding"), dim, tables = 4, planesPerTable = 1, tau = 0.5)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)),
+      s"planted chain must survive LSH candidacy exactly, got $pairs")
+
+    val nd = Dedup.embeddingNearDup(emb, col("vec_id"), col("embedding"),
+        dim, tables = 4, planesPerTable = 1, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // b and c BOTH drop; c's keep_id is b — itself a dropped doc
+    // (greedy policy, pinned); survivor set = docs with no row = {a}
+    assert(nd == Map(2L -> 1L, 3L -> 2L))
+
+    // clusterIds over the same pairs closes the chain: one component
+    val cl = Dedup.clusterIds(
+        Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("clusterIds: multi-component min labels, deep-path convergence, round-bound failure") {
+    import spark.implicits._
+    // path 1-…-6 (diameter 5) + pair 10-11 + triangle 20-21-22
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = Dedup.clusterIds(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = ((1L to 6L).map(_ -> 1L) ++ Seq(10L -> 10L, 11L -> 10L) ++
+      (20L to 22L).map(_ -> 20L)).toMap
+    assert(got == want)
+    // partition-invariance: labels are mins over sets
+    assert(Dedup.clusterIds(pairs.repartition(7))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == want)
+    // a round bound below the diameter must throw, never return
+    // silently-partial clusters
+    intercept[IllegalArgumentException] {
+      Dedup.clusterIds(pairs, maxRounds = 2).collect()
+    }
   }
 }
