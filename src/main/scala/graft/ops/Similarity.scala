@@ -369,12 +369,21 @@ object Similarity {
     * over the NEW batch plus an id anti-join against only the cid
     * partitions the batch routes to — never a full-index rewrite.
     *
-    * Idempotent by construction: already-present ids are anti-joined
-    * away, so re-running after a torn append (parquet job commit is
-    * per-attempt, not transactional across cid dirs) converges to the
-    * complete state instead of duplicating rows. A reader racing the
-    * append sees a prefix of the new lists — for ANN that is a
-    * transient recall dip, not corruption.
+    * Idempotent by construction FOR IMMUTABLE IDS: the anti-join
+    * scans only the cid partitions the NEW batch routes to, which
+    * catches an id re-appended with the SAME vector (it routes to the
+    * same centroid it already lives under). Re-running after a torn
+    * append (parquet job commit is per-attempt, not transactional
+    * across cid dirs) therefore converges to the complete state
+    * instead of duplicating rows. Ids are immutable once indexed:
+    * re-appending an id with a DIFFERENT vector that routes to a
+    * different centroid is NOT detected (it would land in a second
+    * inverted list); updates go through a rebuild ([[ivfWrite]]), or
+    * — when strict id uniqueness against arbitrary batches is worth a
+    * full-lists scan per append — anti-join against the unfiltered
+    * lists relation instead. A reader racing the append sees a prefix
+    * of the new lists — for ANN that is a transient recall dip, not
+    * corruption.
     *
     * Centroid drift note: appends reuse the build-time quantizer, so
     * a corpus whose distribution shifts far from the original sample

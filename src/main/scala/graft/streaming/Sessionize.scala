@@ -1,29 +1,39 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-/** Stateful streaming sessionization — the `mapGroupsWithState`
+/** Stateful streaming sessionization — the `flatMapGroupsWithState`
   * surface (custom per-key state across micro-batches), twin of the
   * batch gap-sessionizer (`SparkEntry.q_sessionize`: a new session
   * starts when the gap to the previous event exceeds `gapSec`,
   * ordered by (ts, event_id) per user).
   *
-  * Per-user state is three longs — last event time, session count,
-  * event count — so state size is O(users), independent of event
-  * volume, and every update emits the user's running totals
-  * (OutputMode.Update). Within a micro-batch, arrival order is
-  * arbitrary and the group iterator is sorted by (ts, event_id),
-  * matching the batch window spec exactly.
+  * Per-user state is four longs — last event time, session count,
+  * event count, late count — so state size is O(users), independent
+  * of event volume, and every batch that touches a user emits the
+  * user's running totals (OutputMode.Update). Within a micro-batch,
+  * arrival order is arbitrary and the group iterator is sorted by
+  * (ts, event_id), matching the batch window spec exactly.
   *
-  * Cross-batch contract: a user's events must not regress in event
-  * time across batch boundaries (the same per-key monotonicity every
-  * running-state sessionizer needs) — late data beyond a batch
-  * boundary belongs upstream in watermark buffering or in the staging
-  * path's keep-latest merge ([[StreamingIngest.stagedCorpus]]).
-  * StreamingSpec pins batch-split invariance: chronological chunking
-  * of one stream yields final counts identical to the batch window
-  * plan over the union.
+  * Late-data policy (pinned, deterministic): an event whose time
+  * REGRESSES the user's state clock — `tsSec < lastTs` after the
+  * in-batch sort — is DROPPED and counted in `n_late`, never folded
+  * into the gap arithmetic. Rationale: folding a regressed event
+  * would require session re-segmentation (unbounded state: the whole
+  * event history), and silently folding it forward would make
+  * `n_sessions` depend on delivery batching. Dropping keeps the fold
+  * split-invariant: for an in-order stream `n_late` = 0 and the
+  * result equals the batch window plan over the union, however the
+  * stream is chunked (StreamingSpec pins both: batch-split invariance
+  * and the cross-boundary late event). Equal timestamps do not count
+  * as late (gap 0 — same session), so intra-batch ties fold
+  * identically to the batch plan. Upstream watermark buffering
+  * (or the staging path's keep-latest merge,
+  * [[StreamingIngest.stagedCorpus]]) remains the place to REORDER
+  * data; this operator's job is to make whatever still arrives out
+  * of order visible and harmless rather than silently corrupting
+  * counts.
   */
 object Sessionize {
 
@@ -31,26 +41,31 @@ object Sessionize {
     * batch plan's `unix_timestamp` difference.
     */
   case class SessionEvent(user_id: Long, event_id: Long, tsSec: Long)
-  case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
-  case class SessionCounts(user_id: Long, n_sessions: Long, n_events: Long)
+  case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long, nLate: Long)
+  case class SessionCounts(user_id: Long, n_sessions: Long, n_events: Long, n_late: Long)
 
   def sessionize(
       events: Dataset[SessionEvent],
       gapSec: Long = 1800L): Dataset[SessionCounts] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionCounts](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionCounts](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid, evs, state) =>
           val sorted = evs.toSeq.sortBy(e => (e.tsSec, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L, 0L))
           sorted.foreach { e =>
-            val isNew = st.lastTs == Long.MinValue || e.tsSec - st.lastTs > gapSec
-            st = SessionState(e.tsSec,
-              st.nSessions + (if (isNew) 1L else 0L),
-              st.nEvents + 1L)
+            if (e.tsSec < st.lastTs) // regressed clock: late, dropped
+              st = st.copy(nLate = st.nLate + 1L)
+            else {
+              val isNew = st.lastTs == Long.MinValue || e.tsSec - st.lastTs > gapSec
+              st = SessionState(e.tsSec,
+                st.nSessions + (if (isNew) 1L else 0L),
+                st.nEvents + 1L, st.nLate)
+            }
           }
           state.update(st)
-          SessionCounts(uid, st.nSessions, st.nEvents)
+          Iterator.single(SessionCounts(uid, st.nSessions, st.nEvents, st.nLate))
       }
   }
 }

@@ -1,13 +1,20 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.api.SearchEngine
 import graft.functions.KmvSketch
-import graft.ops.{Hashing, Pack}
+import graft.gen.TranscriptGen
+import graft.index.IndexBuilder
+import graft.ops.{Hashing, Pack, Similarity}
 
-/** Plan-shape audit for the training-pipeline ops: asserts (not just
-  * prints) the properties that make them scale —
+/** Plan-shape audit for the gate's scale-critical operators: asserts
+  * (not just prints) the properties their wins depend on, so they
+  * cannot silently regress —
   *
   *  - KmvSketch aggregates map-side: the physical plan must contain a
   *    partial-mode ObjectHashAggregate (each map task ships at most k
@@ -16,7 +23,13 @@ import graft.ops.{Hashing, Pack}
   *    parallel per-chunk cumulative sum (window spec keyed by chunk)
   *    and the single-task offset window over the one-row-per-chunk
   *    aggregate — and joins offsets back by BROADCAST (never a
-  *    corpus-sized shuffle join).
+  *    corpus-sized shuffle join);
+  *  - the persisted-IVF probe path (q_ann_ivf / q_hybrid_ivf's
+  *    semantic side) plans a `cid IN (...)` PartitionFilter into its
+  *    ONE lists scan — no corpus-sized read, probe lists broadcast;
+  *  - BM25 retrieval (q_bm25_*) schedules EXACTLY one task per
+  *    dictionary-routed shard (listener-counted), for rare-AND,
+  *    rare-OR, and dense-term queries.
   *
   * Run: `sbt -batch "runMain graft.tools.PipelinePlanProbe"`.
   */
@@ -62,6 +75,62 @@ object PipelinePlanProbe {
     val nBins = Pack.binSummary(packed).count()
     println(s"[pack] bins=$nBins over 100k docs (chunkSize 4096 → 25 chunks)")
     assert(nBins > 0)
+
+    // ---- IVF pruned serving: static cid partition filter, one scan
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf)
+      f.delete()
+    }
+    val ivfDir = "/dev/shm/graft-planprobe-ivf"
+    rmrf(new java.io.File(ivfDir))
+    val emb = (0L until 200L)
+      .map(i => (i, Array.tabulate(8)(d => math.sin(i * 13 + d * 5).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfWrite(emb, col("vec_id"), col("embedding"), stride = 25L, ivfDir)
+    val probes = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+    val pruned = Similarity.ivfTopKPruned(spark, ivfDir, probes, nProbe = 2, k = 5)
+    val iplan = pruned.queryExecution.executedPlan.toString
+    val partFilter = iplan.linesIterator
+      .exists(l => l.contains("PartitionFilters:") && l.contains("cid") && l.contains("IN"))
+    val nScans = "FileScan parquet".r.findAllMatchIn(iplan).size
+    val ibcast = iplan.contains("BroadcastHashJoin")
+    println(s"[ivf] cidPartitionFilter=$partFilter parquetScans=$nScans broadcastJoin=$ibcast")
+    assert(partFilter,
+      "ivfTopKPruned must push a static cid IN (...) PartitionFilter into the lists scan")
+    assert(nScans == 1,
+      s"ivfTopKPruned must read ONLY the lists relation (centroids are driver-cached), got $nScans scans")
+    assert(ibcast, "probe lists must join by broadcast")
+    assert(pruned.count() > 0)
+
+    // ---- BM25 retrieval: tasks scheduled == dictionary-routed shards
+    val idxDir = "/dev/shm/graft-planprobe-idx"
+    rmrf(new java.io.File(idxDir))
+    IndexBuilder.build(spark, TranscriptGen.corpus(spark, 2000L), idxDir,
+      IndexBuilder.Config(blockSize = 64, numShards = 16, numPartitions = 4))
+    val eng = new SearchEngine(spark, idxDir)
+    val taskCount = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        taskCount.incrementAndGet()
+    })
+    Seq(
+      ("rare-AND", "needle5alpha needle5beta", true),
+      ("rare-OR", "needle3alpha needle11beta", false),
+      ("dense-OR", "t00000 t00001", false)).foreach { case (label, q, conj) =>
+      val routed = eng.routedShards(q, conj).length
+      eng.retrieve(q, 10, conjunctive = conj).collect() // warm dict cache
+      Thread.sleep(300)
+      taskCount.set(0)
+      val hits = eng.retrieve(q, 10, conjunctive = conj).collect().length
+      Thread.sleep(300) // drain task-end events
+      val tasks = taskCount.get()
+      println(s"[bm25-route] $label routed=$routed tasks=$tasks hits=$hits")
+      assert(tasks == routed.toLong,
+        s"$label: retrieve must schedule exactly one task per routed shard " +
+          s"(routed=$routed, tasks=$tasks) — routing regressed")
+      assert(hits > 0, s"$label: probe query must hit")
+    }
 
     println("[pipeline-plan-probe] ALL ASSERTIONS PASSED")
     spark.stop()

@@ -365,4 +365,47 @@ class OpsSpec extends SparkSpec {
     val id4 = Multimodal.resize(spark, media, 4, 4).collect().sortBy(_.media_id)
     assert(id4(0).bytes.toSeq == (0 until 16).map(_.toByte))
   }
+
+  test("BMP codec: byte-exact round-trip, real feature/resize kernels, strict fallback") {
+    import spark.implicits._
+    import Multimodal.BmpCodec
+    // 5x3 raster with distinct pixels: width 5 forces row padding to 8
+    val w = 5; val h = 3
+    val raster = Array.tabulate[Byte](w * h)(i => (i * 7 + 3).toByte)
+    val bmp = BmpCodec.encode(w, h, raster)
+    // decode inverts encode byte-exactly (dims from the header)
+    assert(BmpCodec.decode(bmp) match {
+      case Some((dw, dh, r)) => dw == w && dh == h && r.toSeq == raster.toSeq
+      case None => false
+    })
+    // strictness: a flipped magic byte falls out of the codec path
+    val broken = bmp.clone(); broken(0) = 'X'.toByte
+    assert(BmpCodec.decode(broken).isEmpty)
+    // truncated payload rejected (declared size no longer matches)
+    assert(BmpCodec.decode(bmp.dropRight(1)).isEmpty)
+
+    // extractFeatures computes over the DECODED raster for BMP rows
+    // (metadata dims deliberately wrong: the header wins), over raw
+    // file bytes for non-BMP rows
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", bmp, 999, 999, 0),
+      Multimodal.MediaRow(1L, "image", broken, 999, 999, 0)).toDS()
+    val feats = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(feats(0).n_bytes == (w * h).toLong) // pixels, not file bytes
+    val rasterMean = raster.map(_ & 0xff).sum.toDouble / (w * h)
+    assert(math.abs(feats(0).mean_byte - rasterMean) < 1e-9)
+    assert(feats(1).n_bytes == broken.length.toLong) // stub fallback
+
+    // resize decodes, resamples at TRUE dims, re-encodes a valid BMP
+    val out = Multimodal.resize(spark, media, newW = 2, newH = 2)
+      .collect().sortBy(_.media_id)
+    val want = Seq(raster(0), raster(2), raster(w), raster(w + 2)) // rows 3/2=1, cols 5/2=2
+    assert(BmpCodec.decode(out(0).bytes) match {
+      case Some((2, 2, r)) => r.toSeq == want
+      case _ => false
+    })
+    assert(out(0).width == 2 && out(0).height == 2)
+    // non-BMP image row keeps the raw-grid fallback (metadata dims)
+    assert(out(1).bytes.length == 4 && BmpCodec.decode(out(1).bytes).isEmpty)
+  }
 }

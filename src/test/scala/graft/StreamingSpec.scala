@@ -162,7 +162,7 @@ class StreamingSpec extends SparkSpec {
       .getTime % 3600000L == 0L))
   }
 
-  test("stateful sessionization (mapGroupsWithState) matches the batch gap rule across batch splits") {
+  test("stateful sessionization (flatMapGroupsWithState) matches the batch gap rule; late events drop+count") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import graft.streaming.Sessionize
@@ -175,7 +175,7 @@ class StreamingSpec extends SparkSpec {
     } yield SessionEvent(u, i, u * 10 + i * 600 + (i / 5) * 10000)).toVector
 
     // the batch rule (q_sessionize's window plan) in closed form
-    val expected: Map[Long, (Long, Long)] =
+    val expected: Map[Long, (Long, Long, Long)] =
       events.groupBy(_.user_id).map { case (u, es) =>
         val sorted = es.sortBy(e => (e.tsSec, e.event_id))
         var last = Long.MinValue
@@ -184,23 +184,24 @@ class StreamingSpec extends SparkSpec {
           if (last == Long.MinValue || e.tsSec - last > 1800L) n += 1
           last = e.tsSec
         }
-        u -> (n, es.size.toLong)
+        u -> ((n, es.size.toLong, 0L))
       }
     assert(expected.values.forall(_._1 == 4L), "fixture must produce multi-session users")
 
-    def run(chunks: Seq[Seq[SessionEvent]], name: String): Map[Long, (Long, Long)] = {
+    def run(chunks: Seq[Seq[SessionEvent]], name: String): Map[Long, (Long, Long, Long)] = {
       val input = MemoryStream[SessionEvent]
       val q = Sessionize.sessionize(input.toDS())
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Update).start()
       chunks.foreach { c => input.addData(c); q.processAllAvailable() }
       q.stop()
-      // counts are monotone per user → the max-n_events row is final
+      // total processed (events + lates) is monotone per user → its
+      // max row is final
       spark.sql(s"SELECT * FROM $name").as[SessionCounts].collect()
         .groupBy(_.user_id)
         .map { case (u, rows) =>
-          val f = rows.maxBy(_.n_events)
-          u -> (f.n_sessions, f.n_events)
+          val f = rows.maxBy(r => r.n_events + r.n_late)
+          u -> ((f.n_sessions, f.n_events, f.n_late))
         }
     }
 
@@ -211,5 +212,16 @@ class StreamingSpec extends SparkSpec {
     // single-batch delivery: identical — state fold is split-invariant
     val oneShot = run(Seq(events), "sess_oneshot")
     assert(oneShot == expected, "single-batch delivery must equal the batch rule")
+
+    // late event across a batch boundary: dropped + counted, never
+    // folded into the gap arithmetic (the pinned policy)
+    val late = run(Seq(
+      Seq(SessionEvent(99L, 0L, 1000L), SessionEvent(99L, 1L, 2000L)),
+      // 1500 regresses the state clock (lastTs=2000) → late; 2000 ties
+      // the clock (gap 0, same session) → NOT late; 9000 opens session 2
+      Seq(SessionEvent(99L, 2L, 1500L), SessionEvent(99L, 3L, 2000L),
+        SessionEvent(99L, 4L, 9000L))), "sess_late")
+    assert(late == Map(99L -> ((2L, 4L, 1L))),
+      s"late event must drop+count: got $late")
   }
 }
