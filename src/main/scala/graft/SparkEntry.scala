@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.api.SearchEngine
 import graft.index.{IndexBuilder, SegmentIO}
 import graft.model.QuerySpec
-import graft.ops.{Corpus, Dedup, EntityResolution, Hashing, HeavyHitters, Hybrid, Multimodal, Pack, Sampling, Similarity, TextOps}
+import graft.ops.{AsofJoin, Corpus, Dedup, EntityResolution, Hashing, HeavyHitters, Hybrid, Multimodal, Pack, RangeJoin, Sampling, Similarity, TextOps}
 import graft.query.OracleEngine
 import graft.tokenize.Tokenizer
 
@@ -1013,6 +1013,52 @@ object SparkEntry {
         col("embedding"), dim = 64, tables = 4, planesPerTable = 6,
         tau = 0.4, maxBucketSize = 200)
       Dedup.clusterIds(pairs).orderBy("id")
+    }),
+    // as-of join (most recent click at or before each purchase, per
+    // user) — union-scan plan, one shuffle, zero pair explosion;
+    // DuckDB twin is a native ASOF LEFT JOIN
+    "q_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"), col("value").as("click_value"))
+      AsofJoin.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("click_value"),
+          // events ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP
+          // (session TZ is UTC, so the cast is the identity epoch)
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("click_ts").cast("timestamp"))).as("lag_us"))
+        .orderBy("user_id", "purchase_id")
+    }),
+    // range join (attribution: clicks inside the hour before each
+    // purchase) — bucketed point-in-interval equi-join, no per-key
+    // cartesian; click values summed as exact integer cents
+    "q_range_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"),
+          col("ts").as("w_end"))
+      RangeJoin.pointInInterval(clicks, purchases, Seq("user_id"),
+          "click_ts", "w_start", "w_end", bucketWidthSec = 3600L)
+        .groupBy("user_id", "purchase_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          (sum(round(col("value") * 100).cast("long")) / lit(100.0))
+            .as("click_value_sum"))
+        .orderBy("user_id", "purchase_id")
+    }),
+    // Gopher-style repetition quality metrics over documents
+    "q_repetition" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.repetitionMetrics(docs, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -2007,7 +2053,78 @@ object SparkEntry {
            |  SELECT doc_id, ${Tokenizer.duckdbTokensSql("text")} AS tk
            |  FROM documents WHERE doc_id < 100)
            |SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct
-           |FROM tok ORDER BY doc_id""".stripMargin
+           |FROM tok ORDER BY doc_id""".stripMargin,
+      // the as-of twin is DuckDB's NATIVE operator — an independent
+      // implementation, not a replay of the union-scan plan
+      "q_asof_join" ->
+        """WITH p AS (SELECT user_id, event_id AS purchase_id, ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts,
+          |             value AS click_value
+          |      FROM events WHERE event_type = 'click')
+          |SELECT p.user_id, p.purchase_id, c.click_id, c.click_value,
+          |       epoch_us(p.ts) - epoch_us(c.click_ts) AS lag_us
+          |FROM p ASOF LEFT JOIN c
+          |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+          |ORDER BY p.user_id, p.purchase_id""".stripMargin,
+      // plain inequality join (fine at oracle scale; the Spark side
+      // is the bucketed plan); cents sum keeps float addition exact
+      "q_range_join" ->
+        """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts, value
+          |           FROM events WHERE event_type = 'click'),
+          |p AS (SELECT user_id, event_id AS purchase_id, ts
+          |      FROM events WHERE event_type = 'purchase')
+          |SELECT p.user_id, p.purchase_id, count(*) AS n_clicks,
+          |       (sum(CAST(round(c.value * 100) AS BIGINT))::BIGINT / 100.0)
+          |         AS click_value_sum
+          |FROM p JOIN c ON p.user_id = c.user_id
+          |  AND c.click_ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // repetition metrics: same one-explode + windows construction;
+      // generate_subscripts is 1-based vs posexplode's 0-based pos —
+      // a constant shift that cancels in the islands grouping key
+      "q_repetition" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+           |  FROM (SELECT doc_id, ${TextOps.repetitionWordsSql("text")} AS arr
+           |        FROM documents)),
+           |en AS (
+           |  SELECT doc_id, pos, tok,
+           |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+           |         pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos)
+           |           AS isl
+           |  FROM w),
+           |ta AS (
+           |  SELECT doc_id, sum(cf)::BIGINT AS n_tokens,
+           |         count(*) AS n_distinct, max(cf) AS top_cf
+           |  FROM (SELECT doc_id, tok, count(*) AS cf FROM en GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |ba AS (
+           |  SELECT doc_id, max(bcf) AS top_bigram_cf
+           |  FROM (SELECT doc_id, tok, nxt, count(*) AS bcf FROM en
+           |        WHERE nxt IS NOT NULL GROUP BY 1, 2, 3)
+           |  GROUP BY 1),
+           |ra AS (
+           |  SELECT doc_id, max(run) AS max_run
+           |  FROM (SELECT doc_id, tok, isl, count(*) AS run FROM en GROUP BY 1, 2, 3)
+           |  GROUP BY 1)
+           |SELECT d.doc_id,
+           |       coalesce(ta.n_tokens, 0)::BIGINT AS n_tokens,
+           |       CASE WHEN ta.n_tokens > 0
+           |            THEN round(ta.n_distinct::DOUBLE / ta.n_tokens::DOUBLE, 6)
+           |            ELSE 0.0 END AS distinct_ratio,
+           |       CASE WHEN ta.n_tokens > 0
+           |            THEN round(ta.top_cf::DOUBLE / ta.n_tokens::DOUBLE, 6)
+           |            ELSE 0.0 END AS top_token_fraction,
+           |       CASE WHEN ta.n_tokens > 1
+           |            THEN round(ba.top_bigram_cf::DOUBLE /
+           |                       (ta.n_tokens - 1)::DOUBLE, 6)
+           |            ELSE 0.0 END AS top_bigram_fraction,
+           |       coalesce(ra.max_run, 0)::BIGINT AS max_run
+           |FROM documents d
+           |LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+           |LEFT JOIN ra USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
     )
   }
 }

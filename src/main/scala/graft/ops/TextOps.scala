@@ -41,6 +41,84 @@ object TextOps {
         greatest(size(ws), lit(1)), 6).as("mean_word_len"))
   }
 
+  /** Raw-word split for repetition analysis: same alphanumeric-run
+    * split as the index tokenizer ([[Tokenizer.SplitPattern]]) but
+    * with NO length floor and NO stop-word removal — repetition
+    * signals must see every word (a doc spamming "the the the ..."
+    * would look clean to the stop-filtered tokenizer). Exposed beside
+    * its DuckDB twin ([[repetitionWordsSql]]) — the engine-portable
+    * pair pattern; change both together.
+    */
+  def repetitionWords(text: Column): Column =
+    filter(split(lower(text), Tokenizer.SplitPattern), t => length(t) >= 1)
+
+  /** DuckDB twin of [[repetitionWords]]. */
+  def repetitionWordsSql(textExpr: String): String =
+    s"list_filter(regexp_split_to_array(lower($textExpr), " +
+      s"'${Tokenizer.SplitPattern}'), x -> length(x) >= 1)"
+
+  /** Gopher-style repetition metrics per document — the standard
+    * pretraining quality filters for degenerate/templated text
+    * (Rae et al. 2021 "Scaling Language Models", Table A1):
+    *
+    *   - `distinct_ratio`        type-token ratio (low = repetitive)
+    *   - `top_token_fraction`    share of the most frequent word
+    *   - `top_bigram_fraction`   share of the most frequent adjacent
+    *                             word pair (denominator n-1 pairs)
+    *   - `max_run`               longest run of one word repeated
+    *                             back-to-back
+    *
+    * Plan, chosen for the 100 TB shape: ONE posexplode of the word
+    * array feeds all four signals — per-(doc, word) counts for the
+    * token stats, a `lead` window for bigrams, and the gaps-and-
+    * islands trick (pos − row_number within (doc, word) is constant
+    * along a run) for max_run. Everything shuffles on the doc id (or
+    * (doc, word)) — no per-row O(n²) higher-order scans, no global
+    * ordering, and per-doc window state is O(1), so a single
+    * pathological document bounds a task, never the stage.
+    */
+  def repetitionMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(id.as("id"), repetitionWords(text).as("toks"))
+    val tok = base.select(col("id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    val byTok = Window.partitionBy("id", "tok").orderBy("pos")
+    val en = tok
+      .withColumn("nxt", lead("tok", 1).over(byPos))
+      .withColumn("isl", col("pos") - row_number().over(byTok))
+    val tokAgg = en.groupBy("id", "tok").agg(count(lit(1)).as("cf"))
+      .groupBy("id").agg(
+        sum("cf").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("cf").as("top_cf"))
+    val biAgg = en.filter(col("nxt").isNotNull)
+      .groupBy("id", "tok", "nxt").agg(count(lit(1)).as("bcf"))
+      .groupBy("id").agg(max("bcf").as("top_bigram_cf"))
+    val runAgg = en.groupBy("id", "tok", "isl").agg(count(lit(1)).as("run"))
+      .groupBy("id").agg(max("run").as("max_run"))
+    // left joins + guards: a doc with 0 words has no exploded rows at
+    // all, one with 1 word has no bigram row; ANSI mode makes an
+    // unguarded 0-denominator a hard error, not a NULL
+    base.select(col("id"))
+      .join(tokAgg, Seq("id"), "left")
+      .join(biAgg, Seq("id"), "left")
+      .join(runAgg, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("distinct_ratio"),
+        when(col("n_tokens") > 0,
+          round(col("top_cf").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_token_fraction"),
+        when(col("n_tokens") > 1,
+          round(col("top_bigram_cf").cast("double") /
+            (col("n_tokens") - 1).cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_bigram_fraction"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * whitespace/word-order insensitive near-exact dedup key.
     */

@@ -29,7 +29,11 @@ import graft.ops.{Hashing, Pack, Similarity}
   *    ONE lists scan — no corpus-sized read, probe lists broadcast;
   *  - BM25 retrieval (q_bm25_*) schedules EXACTLY one task per
   *    dictionary-routed shard (listener-counted), for rare-AND,
-  *    rare-OR, and dense-term queries.
+  *    rare-OR, and dense-term queries;
+  *  - AsofJoin plans JOIN-FREE (union-scan + window — zero Join
+  *    nodes; a Join means the pair-exploding formulation returned);
+  *  - RangeJoin.pointInInterval plans as an equi-join on
+  *    (key, bucket), never a nested-loop/cartesian.
   *
   * Run: `sbt -batch "runMain graft.tools.PipelinePlanProbe"`.
   */
@@ -131,6 +135,47 @@ object PipelinePlanProbe {
           s"(routed=$routed, tasks=$tasks) — routing regressed")
       assert(hits > 0, s"$label: probe query must hit")
     }
+
+    // ---- as-of join: the union-scan plan is JOIN-FREE — one window,
+    // zero join operators (the naive formulation would plan a
+    // nested-loop or an exploding equi-join + argmax)
+    val evts = (0L until 200000L)
+      .map(i => (i % 500, i * 7 % 100000, if (i % 3 == 0) "p" else "c", i))
+      .toDF("k", "sec", "kind", "eid")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val asof = graft.ops.AsofJoin.asofJoin(
+      evts.filter(col("kind") === "p").select(col("k"), col("ts"), col("eid").as("pid")),
+      evts.filter(col("kind") === "c")
+        .select(col("k"), col("ts").as("cts"), col("eid").as("cid2"))
+        .groupBy("k", "cts").agg(min("cid2").as("cid2")),
+      Seq("k"), "ts", "cts")
+    val aplan = asof.queryExecution.executedPlan.toString
+    val aJoins = "Join".r.findAllMatchIn(aplan).size
+    val aWindows = "Window".r.findAllMatchIn(aplan).size
+    println(s"[asof] joinNodes=$aJoins windowNodes=$aWindows")
+    assert(aJoins == 0,
+      "asofJoin must plan as a join-free union-scan — a Join node means " +
+        "the pair-exploding formulation crept back in")
+    assert(aWindows >= 1 && asof.count() > 0)
+
+    // ---- range join: equi-join on (key, bucket) — never a nested
+    // loop / cartesian over the raw range predicate
+    val pts = evts.filter(col("kind") === "c")
+      .select(col("k"), col("ts").as("pt"), col("eid"))
+    val ivs = evts.filter(col("kind") === "p")
+      .select(col("k"), col("ts").as("ws"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("we"), col("eid").as("iid"))
+    val rj = graft.ops.RangeJoin.pointInInterval(
+      pts, ivs, Seq("k"), "pt", "ws", "we", bucketWidthSec = 1800L)
+    val rplan = rj.queryExecution.executedPlan.toString
+    val rBad = rplan.contains("NestedLoop") || rplan.contains("Cartesian")
+    val rEqui = rplan.contains("SortMergeJoin") || rplan.contains("ShuffledHashJoin") ||
+      rplan.contains("BroadcastHashJoin")
+    println(s"[range] equiJoin=$rEqui nestedLoopOrCartesian=$rBad")
+    assert(rEqui && !rBad,
+      "pointInInterval must plan as an equi-join on (key, bucket) — a " +
+        "nested-loop/cartesian means the bucket key fell out of the join")
+    assert(rj.count() > 0)
 
     println("[pipeline-plan-probe] ALL ASSERTIONS PASSED")
     spark.stop()
