@@ -15,8 +15,10 @@ import graft.query.LocalIndex
   *    BOTH serving models: in-RAM LocalIndex (headline; the
   *    reference's resident-index analog) and the distributed
   *    SearchEngine.retrieve path (spark_p50/p95)
-  *  - throughput scaling local[2] -> local[8] on identical input
-  *    (the sanctioned N-vs-4N executor stand-in, see BASELINE.md)
+  *  - throughput scaling local[N] -> local[4N] on identical input
+  *    (the sanctioned N-vs-4N executor stand-in, see BASELINE.md;
+  *    N = SPARK_GRAFT_SCALE_LOW, pair corpus sized by
+  *    SPARK_GRAFT_SCALE_FRACTION of the headline corpus)
   *  - per-query seconds for every SparkEntry driver query on sfDir
   */
 object Bench {
@@ -78,27 +80,49 @@ object Bench {
     val benchT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "900").toDouble
-    val pairsMax = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "2").toInt)
+    val pairsMax = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt)
+    // Scaling pairs run on a FRACTION of the headline corpus (default
+    // half): the pair measures a RATIO, not absolute throughput, and a
+    // half-size pair costs half the deadline budget — so 2-3 pairs fit
+    // even inside a throttle window (r5: a full-size pair at quarter
+    // host speed ate the whole pair budget and left the min-normalized
+    // selection with a single, throttled sample measuring 0.677).
+    // More same-window samples beat one bigger sample: the selection
+    // statistic is min over self-consistent windows. Fixed per-job
+    // cost (~0.3-0.5 s x ~9 jobs) weighs ~2x more against the smaller
+    // high-cores side, so the fraction trades a few points of ceiling
+    // for 2-3x the window coverage; 1.0 restores the r3/r4 protocol.
+    val scaleFrac = sys.env.getOrElse("SPARK_GRAFT_SCALE_FRACTION", "0.5").toDouble
+    require(scaleFrac > 0 && scaleFrac <= 1.0, s"bad SPARK_GRAFT_SCALE_FRACTION $scaleFrac")
+    val scaleConvs = math.max(1L, (benchConvs * scaleFrac).toLong)
 
     // ---- stage the corpus to a parquet table once (untimed): the
     // real pipeline indexes an existing transcript table, and both
     // scaling runs must read identical warm input ----
     val dirHigh = freshDir(s"idx$cpus")
     val corpusPath = freshDir("corpus")
+    val scalePath = if (scaleFrac < 1.0) freshDir("corpus-scale") else corpusPath
     val sparkStage = session(cpus)
     TranscriptGen.corpus(sparkStage, benchConvs)
       .write.mode("overwrite").parquet(corpusPath)
+    if (scaleFrac < 1.0)
+      TranscriptGen.corpus(sparkStage, scaleConvs)
+        .write.mode("overwrite").parquet(scalePath)
     // fixed-size-shard mode (the at-scale layout): dps derived once
     // here, so no timed build pays an up-front count job
     val corpusTurns = sparkStage.read.parquet(corpusPath).count()
+    val scaleTurns =
+      if (scaleFrac < 1.0) sparkStage.read.parquet(scalePath).count() else corpusTurns
     sparkStage.stop()
     val dps = math.max(1L, (corpusTurns + 31) / 32)
+    val dpsScale = math.max(1L, (scaleTurns + 31) / 32)
 
     import graft.model.Turn
-    def readCorpus(s: SparkSession) = {
+    def readAt(s: SparkSession, path: String) = {
       import s.implicits._
-      s.read.parquet(corpusPath).as[Turn]
+      s.read.parquet(path).as[Turn]
     }
+    def readCorpus(s: SparkSession) = readAt(s, corpusPath)
     // postingsGroups=2: per-group postings commit in the measured
     // headline build. Grouping is a fault-tolerance knob whose cost is
     // per-wave fixed overhead (job scheduling + a rank-shuffle rescan):
@@ -116,15 +140,17 @@ object Bench {
     val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "1").toInt
     val coresHigh = coresLow * 4
 
-    def timedBuild(cores: Int, dir: String): (Double, Long) = {
+    def timedBuildAt(cores: Int, dir: String, path: String, dpsAt: Long): (Double, Long) = {
       val s = session(cores, aqe = false)
       val t0 = System.nanoTime()
-      val st = IndexBuilder.build(s, readCorpus(s), dir,
-        cfg0.copy(numPartitions = cores))
+      val st = IndexBuilder.build(s, readAt(s, path), dir,
+        cfg0.copy(numPartitions = cores, docsPerShard = Some(dpsAt)))
       val t = (System.nanoTime() - t0) / 1e9
       s.stop()
       (t, st.numDocs)
     }
+    def timedBuild(cores: Int, dir: String): (Double, Long) =
+      timedBuildAt(cores, dir, corpusPath, dps)
     // half-size untimed warm build first: JIT + guest-page faulting
     // (this VM faults fresh pages at ~300 MB/s of sys time) would
     // otherwise be charged to whichever timed run goes first. Half
@@ -146,8 +172,8 @@ object Bench {
     // 4*t_high — equal weights under perfect scaling) is smallest,
     // i.e. the least-throttled window's self-consistent measurement.
     def runPair(r: Int): (Double, Double, Long) = {
-      val (tl, n) = timedBuild(coresLow, freshDir(s"idxlow-$r"))
-      val (th, _) = timedBuild(coresHigh, freshDir(s"idxhigh-$r"))
+      val (tl, n) = timedBuildAt(coresLow, freshDir(s"idxlow-$r"), scalePath, dpsScale)
+      val (th, _) = timedBuildAt(coresHigh, freshDir(s"idxhigh-$r"), scalePath, dpsScale)
       (tl, th, n)
     }
     // Pair count: env-tunable (SPARK_GRAFT_BENCH_PAIRS, default 2),
@@ -263,6 +289,7 @@ object Bench {
         f""""bench_pairs":${pairs.size},"headline_builds":$headlineBuilds,""" +
         f""""bench_elapsed_sec":$elapsedSec%.1f,""" +
         f""""scaling":{"cores_low":$coresLow,"cores_high":$coresHigh,""" +
+        f""""pair_turns":$nLow,"scale_fraction":$scaleFrac%.2f,""" +
         f""""turns_per_sec_low":$thruLow%.0f,"turns_per_sec_high":$thruHigh%.0f,""" +
         f""""efficiency":$scalingEff%.3f}}""")
     spark.stop()
