@@ -1033,6 +1033,23 @@ object SparkEntry {
             unix_micros(col("click_ts").cast("timestamp"))).as("lag_us"))
         .orderBy("user_id", "purchase_id")
     }),
+    // forward as-of with tolerance: the first error at-or-after each
+    // purchase, nulled when farther than 2 hours — merge_asof's
+    // direction+tolerance surface over the same union-scan plan
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ts").as("error_ts"))
+      AsofJoin.asofJoin(purchases, errors, Seq("user_id"), "ts", "error_ts",
+          direction = "forward", toleranceUs = Some(7200000000L))
+        .select(col("user_id"), col("purchase_id"), col("error_id"),
+          (unix_micros(col("error_ts").cast("timestamp")) -
+            unix_micros(col("ts").cast("timestamp"))).as("gap_us"))
+        .orderBy("user_id", "purchase_id")
+    }),
     // range join (attribution: clicks inside the hour before each
     // purchase) — bucketed point-in-interval equi-join, no per-key
     // cartesian; click values summed as exact integer cents
@@ -2067,6 +2084,21 @@ object SparkEntry {
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
           |ORDER BY p.user_id, p.purchase_id""".stripMargin,
+      // forward ASOF (ON l.ts <= r.ts picks the nearest FOLLOWING
+      // row); the tolerance null-out replays as a CASE over the gap
+      "q_asof_forward" ->
+        """WITH p AS (SELECT user_id, event_id AS purchase_id, ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |e AS (SELECT user_id, event_id AS error_id, ts AS error_ts
+          |      FROM events WHERE event_type = 'error')
+          |SELECT p.user_id, p.purchase_id,
+          |       CASE WHEN epoch_us(e.error_ts) - epoch_us(p.ts) <= 7200000000
+          |            THEN e.error_id END AS error_id,
+          |       CASE WHEN epoch_us(e.error_ts) - epoch_us(p.ts) <= 7200000000
+          |            THEN epoch_us(e.error_ts) - epoch_us(p.ts) END AS gap_us
+          |FROM p ASOF LEFT JOIN e
+          |  ON p.user_id = e.user_id AND p.ts <= e.error_ts
+          |ORDER BY 1, 2""".stripMargin,
       // plain inequality join (fine at oracle scale; the Spark side
       // is the bucketed plan); cents sum keeps float addition exact
       "q_range_join" ->

@@ -4,11 +4,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (most-recent-event) join: for every left row, attach the
-  * single right row with the same key and the greatest right
-  * timestamp ≤ the left timestamp (inclusive), or nulls when no right
-  * row precedes it — the time-series primitive Spark lacks natively
-  * (DuckDB: `ASOF LEFT JOIN`, Pandas: `merge_asof`).
+/** As-of (nearest-event) join: for every left row, attach the single
+  * right row with the same key and the greatest right timestamp ≤ the
+  * left timestamp (backward, default) or the smallest ≥ it (forward)
+  * — inclusive, nulls when no right row qualifies, optional tolerance
+  * window — the time-series primitive Spark lacks natively (DuckDB:
+  * `ASOF LEFT JOIN`, Pandas: `merge_asof`).
   *
   * Plan, chosen for the 100 TB shape: the naive formulation is a
   * range join (`l.key = r.key AND r.ts <= l.ts` + a per-left argmax),
@@ -46,16 +47,32 @@ object AsofJoin {
     * @param keyCols equi-join key column names (present on both sides)
     * @param leftTs  left timestamp column name
     * @param rightTs right timestamp column name (unique per key)
+    * @param direction "backward" (default: latest right at-or-before
+    *                leftTs — DuckDB `ON l.ts >= r.ts`, pandas
+    *                merge_asof default) or "forward" (earliest right
+    *                at-or-after — `ON l.ts <= r.ts`); both inclusive.
+    *                Forward is the same union scan over the reversed
+    *                timeline: order by (ts DESC, side), so the running
+    *                `last` carries the nearest FOLLOWING right row.
+    * @param toleranceUs optional match window in microseconds: a
+    *                matched right row farther than this from leftTs is
+    *                nulled out (pandas merge_asof `tolerance`) — a
+    *                projection-time guard, not a plan change.
     * @return left columns + right's non-key columns from the matched
-    *         row (null when no right row at-or-before leftTs)
+    *         row (null when no right row qualifies)
     */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       leftTs: String,
-      rightTs: String): DataFrame = {
+      rightTs: String,
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "asofJoin needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    toleranceUs.foreach(t => require(t >= 0, s"negative tolerance $t"))
     val rightPayload = right.columns.filterNot(keyCols.contains).toSeq
     val leftPayload =
       left.columns.filterNot(c => keyCols.contains(c) || c == leftTs).toSeq
@@ -76,19 +93,31 @@ object AsofJoin {
         leftPayload.map(c => lit(null).cast(leftSchema(left, c)).as(c)) :+
         struct(rightPayload.map(col): _*).as("_asof_r"): _*)
 
+    val tsOrder =
+      if (direction == "backward") col("_asof_ts").asc else col("_asof_ts").desc
     val timeline = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_asof_ts"), col("_asof_side"))
+      .orderBy(tsOrder, col("_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedLeft.unionByName(taggedRight)
+    val matched = taggedLeft.unionByName(taggedRight)
       .withColumn("_asof_hit", last(col("_asof_r"), ignoreNulls = true).over(timeline))
       .filter(col("_asof_side") === 1)
-      .select(
-        keyCols.map(col) ++
-          Seq(col("_asof_ts").as(leftTs)) ++
-          leftPayload.map(col) ++
-          rightPayload.map(c => col(s"_asof_hit.$c").as(c)): _*)
+    val gated = toleranceUs match {
+      case None => matched
+      case Some(tol) =>
+        // cast: tolerate TIMESTAMP_NTZ (unix_micros requires TZ); the
+        // DIFFERENCE of two same-zone epochs is zone-independent
+        matched.withColumn("_asof_hit",
+          when(abs(unix_micros(col("_asof_ts").cast("timestamp")) -
+            unix_micros(col(s"_asof_hit.$rightTs").cast("timestamp"))) <= tol,
+            col("_asof_hit")))
+    }
+    gated.select(
+      keyCols.map(col) ++
+        Seq(col("_asof_ts").as(leftTs)) ++
+        leftPayload.map(col) ++
+        rightPayload.map(c => col(s"_asof_hit.$c").as(c)): _*)
   }
 
   private def structType(df: DataFrame, cols: Seq[String]) =

@@ -74,18 +74,20 @@ object Dedup {
     * deliberately does not compute. Singleton docs (no pairs) are
     * absent; they are their own cluster by definition.
     *
-    * Bounded-round min-label propagation: each round every vertex
-    * takes the min label among itself and its neighbors, converging
-    * in (component diameter) rounds — near-dup components are
-    * shallow in practice (duplicates of a common source), so the
-    * default bound covers them; the round that changes nothing
-    * terminates the loop early, and hitting `maxRounds` without
+    * Bounded-round min-label propagation WITH path compression
+    * (pointer jumping): each round every vertex first takes the min
+    * label among itself and its neighbors (propagate), then replaces
+    * its label by its label's label (compress — labels always point
+    * at smaller ids of the same component, so the hop is sound and
+    * monotone). Compression halves remaining path lengths, so
+    * convergence is O(log diameter) rounds instead of O(diameter) —
+    * a 10⁶-long duplicate chain resolves in ~20 rounds, and the
+    * common shallow components in 2-3. The round that changes
+    * nothing terminates the loop early; hitting `maxRounds` without
     * convergence throws rather than returning silently-partial
-    * clusters. Each round is one equi-join + one min-aggregation over
-    * the EDGE relation only (never the corpus), so cost is
-    * O(rounds · |pairs|) shuffle — the alternating large-star/
-    * small-star pointer-jumping variant (O(log n) rounds) is the
-    * upgrade path for adversarial diameters. Deterministic and
+    * clusters. Each round is two equi-joins + one min-aggregation
+    * over the EDGE/LABEL relations only (never the corpus), so cost
+    * is O(log(diam) · |pairs|) shuffle. Deterministic and
     * partition-invariant: every step is a min over a set.
     *
     * The returned frame is persisted (its lineage is the whole
@@ -109,9 +111,17 @@ object Dedup {
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
-        val next = edges
+        val prop = edges
           .join(labels.select(col("id").as("dst"), col("label")), "dst")
           .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
+        // path compression: label := label(label). Every label value
+        // is a vertex id of the same relation (self-loops put every
+        // vertex in prop), and label(x) <= x holds inductively, so
+        // the inner join is total and the hop only shrinks labels.
+        val next = prop.as("a")
+          .join(prop.select(col("id").as("label"),
+            col("label").as("label2")), "label")
+          .select(col("id"), col("label2").as("label"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // convergence probe: any vertex whose label still shrank?
         val changed = next.as("n")
@@ -124,9 +134,9 @@ object Dedup {
         round += 1
       }
       require(converged,
-        s"clusterIds did not converge in $maxRounds rounds — component " +
-          "diameter exceeds the bound; raise maxRounds or switch to " +
-          "pointer-jumping")
+        s"clusterIds did not converge in $maxRounds rounds (with path " +
+          "compression = component diameter > ~2^" + maxRounds + "); " +
+          "raise maxRounds")
       labels.select(col("id"), col("label").as("cluster"))
     } finally {
       edges.unpersist()

@@ -72,6 +72,34 @@ class JoinOpsSpec extends SparkSpec {
     assert(got1 == expected, "result must not depend on partitioning")
   }
 
+  test("asof: forward direction picks the nearest following row, inclusive") {
+    import spark.implicits._
+    val left = ts(Seq((1L, 2L, "l2"), (1L, 7L, "l7"), (1L, 10L, "l10"))
+      .toDF("k", "t", "ltag"), "t")
+    val right = ts(Seq((1L, 3L, "a"), (1L, 7L, "b"), (1L, 9L, "c"))
+      .toDF("k", "rt", "rtag"), "rt")
+    val rows = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+      direction = "forward")
+      .select("ltag", "rtag").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // mirrors DuckDB `ASOF LEFT JOIN ... ON l.ts <= r.ts`
+    assert(rows("l2").contains("a"))
+    assert(rows("l7").contains("b"), "equal timestamps match (inclusive)")
+    assert(rows("l10").isEmpty, "no right row at or after t=10")
+  }
+
+  test("asof: tolerance nulls out a match farther than the window") {
+    import spark.implicits._
+    val left = ts(Seq((1L, 100L, "near"), (1L, 500L, "far")).toDF("k", "t", "ltag"), "t")
+    val right = ts(Seq((1L, 90L, 1.5)).toDF("k", "rt", "v"), "rt")
+    val rows = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+      toleranceUs = Some(60L * 1000000L))
+      .select("ltag", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows("near").contains(1.5), "10 s gap inside the 60 s window")
+    assert(rows("far").isEmpty, "410 s gap outside the window is nulled, not kept")
+  }
+
   // ------------------------------------------------------ range join
 
   test("range: inclusive bounds on both ends, exactly-once matches") {

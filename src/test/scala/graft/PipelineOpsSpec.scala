@@ -325,10 +325,21 @@ class PipelineOpsSpec extends SparkSpec {
     // partition-invariance: labels are mins over sets
     assert(Dedup.clusterIds(pairs.repartition(7))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap == want)
-    // a round bound below the diameter must throw, never return
-    // silently-partial clusters
+    // a round bound below what compression needs must throw, never
+    // return silently-partial clusters
     intercept[IllegalArgumentException] {
       Dedup.clusterIds(pairs, maxRounds = 2).collect()
     }
+  }
+
+  test("clusterIds: path compression resolves a 100-vertex chain within the default bound") {
+    import spark.implicits._
+    // diameter 99: plain min-label propagation needs 99 rounds and
+    // would blow the default maxRounds=20 — pointer jumping must get
+    // there in O(log 99) ≈ 7-12 rounds
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusterIds(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (1L to 100L).map(_ -> 1L).toMap)
   }
 }
