@@ -1076,8 +1076,42 @@ object SparkEntry {
       TextOps.repetitionMetrics(docs, col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+    // PII redaction + per-rule counts. The synthetic docs carry no
+    // PII, so each doc is first augmented with a deterministic
+    // PII-shaped suffix (same CASE in the oracle) — the query tests
+    // the scrub machinery, not the fixture's innocence
+    "q_redact" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"), expr(RedactSuffixCase)).as("t"))
+      aug.select(
+        Seq(col("doc_id"), md5(TextOps.redact(col("t"))).as("redacted_md5")) ++
+          TextOps.piiCounts(col("t")): _*)
+        .orderBy("doc_id")
+    }),
+    // sliding-window chunking (size 32 words, overlap 8)
+    "q_chunks" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextOps.slidingChunks(docs, col("doc_id"), col("text"),
+          size = ChunkSize, overlap = ChunkOverlap)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_words"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     })
   )
+
+  /** Deterministic PII-shaped augmentation for q_redact (SQL CASE —
+    * valid in both engines verbatim).
+    */
+  private val RedactSuffixCase =
+    "CASE doc_id % 3 " +
+      "WHEN 0 THEN ' contact ops-team@example.com or 10.20.30.40' " +
+      "WHEN 1 THEN ' call +1 555-123-4567 ref 99887766554' " +
+      "ELSE ' order 1234567 pending' END"
+  /** q_chunks window geometry (step 24). */
+  private val ChunkSize = 32
+  private val ChunkOverlap = 8
 
   /** KMV sketch size for q_kmv_distinct (64 → ~12.5% stderr). */
   private val KmvK = 64
@@ -2156,7 +2190,39 @@ object SparkEntry {
            |FROM documents d
            |LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
            |LEFT JOIN ra USING (doc_id)
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+      // redaction replay: TextOps.redactSql/piiCountsSql are the
+      // Scala rules' engine-portable SQL twins (one source, RE2-safe
+      // patterns, 'g' flag per the DuckDB replace-all gotcha)
+      "q_redact" ->
+        s"""WITH a AS (
+           |  SELECT doc_id, text || $RedactSuffixCase AS t FROM documents)
+           |SELECT doc_id, md5(${TextOps.redactSql("t")}) AS redacted_md5,
+           |       ${TextOps.piiCountsSql("t").mkString(",\n       ")}
+           |FROM a ORDER BY doc_id""".stripMargin,
+      // chunking replay: same word split (repetitionWordsSql), same
+      // exact integer window arithmetic; list slices clamp at the
+      // array end in both engines
+      "q_chunks" -> {
+        val step = ChunkSize - ChunkOverlap
+        s"""WITH w AS (
+           |  SELECT doc_id, ${TextOps.repetitionWordsSql("text")} AS arr
+           |  FROM documents),
+           |n AS (SELECT doc_id, arr, len(arr)::BIGINT AS n FROM w
+           |      WHERE len(arr) > 0),
+           |c AS (SELECT doc_id, arr,
+           |        unnest(generate_series(0,
+           |          (greatest(n - $ChunkSize, 0) + ${step - 1}) // $step))
+           |          AS chunk_idx
+           |      FROM n)
+           |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           |       len(arr[(chunk_idx*$step+1):(chunk_idx*$step+$ChunkSize)])::BIGINT
+           |         AS chunk_words,
+           |       md5(array_to_string(
+           |         arr[(chunk_idx*$step+1):(chunk_idx*$step+$ChunkSize)], ' '))
+           |         AS chunk_md5
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+      }
     )
   }
 }

@@ -143,6 +143,86 @@ object TextOps {
     h
   }
 
+  /** PII redaction patterns, applied in this order (email before the
+    * bare-number rules so an address's digits don't get half-eaten).
+    * RE2-safe (no backrefs/lookarounds) so the same strings run
+    * unchanged in DuckDB's regexp engine — the engine-portable pair:
+    * [[redact]] / [[redactSql]] and [[piiCounts]] / count fragments
+    * must change together.
+    */
+  val RedactRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d{3}[- ]?\\d{3}[- ]?\\d{4}" -> "<PHONE>",
+    "\\d{6,}" -> "<NUM>")
+
+  /** Redact PII-shaped spans (emails, IPv4s, phone-shaped and long
+    * digit runs) with typed placeholders — the standard pretraining
+    * scrub. Pure column expression (codegen'd regexp_replace chain).
+    */
+  def redact(text: Column): Column =
+    RedactRules.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** DuckDB twin of [[redact]] — note the 'g' flag: DuckDB's
+    * regexp_replace is first-match-only by default, Spark's is
+    * replace-all.
+    */
+  def redactSql(textExpr: String): String =
+    RedactRules.foldLeft(textExpr) { case (e, (pat, tag)) =>
+      s"regexp_replace($e, '$pat', '$tag', 'g')"
+    }
+
+  /** Per-rule match counts (what a pipeline actually monitors), same
+    * pre-redaction text both engines. Column names: n_email, n_ip,
+    * n_phone, n_num.
+    */
+  def piiCounts(text: Column): Seq[Column] =
+    RedactRules.map { case (pat, tag) =>
+      val name = "n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long").as(name)
+    }
+
+  /** DuckDB twins of [[piiCounts]] (SELECT-list fragments). */
+  def piiCountsSql(textExpr: String): Seq[String] =
+    RedactRules.map { case (pat, tag) =>
+      val name = "n_" + tag.stripPrefix("<").stripSuffix(">").toLowerCase
+      s"len(regexp_extract_all($textExpr, '$pat'))::BIGINT AS $name"
+    }
+
+  /** Sliding-window chunking for context-length-bounded training/RAG:
+    * the word stream cut into `size`-word windows advancing by
+    * `size - overlap`, final partial window kept. Pure per-row column
+    * math (sequence + slice inside one posexplode) — the explode is
+    * the only fan-out, there is no join or shuffle at all, so the
+    * operator is embarrassingly parallel at any corpus size. Word
+    * split = [[repetitionWords]] (same DuckDB twin). Chunk count for
+    * n > 0 words: 1 + ceil(max(0, n - size) / (size - overlap)),
+    * exact integer arithmetic in both engines; n = 0 emits nothing.
+    */
+  def slidingChunks(
+      df: DataFrame, id: Column, text: Column,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val base = df.select(id.as("id"), repetitionWords(text).as("toks"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+    base.select(
+      col("id"), col("n"),
+      posexplode(transform(
+        sequence(lit(0L),
+          floor((greatest(col("n") - size, lit(0L)) + (step - 1)) / step).cast("long")),
+        i => concat_ws(" ",
+          slice(col("toks"), (i * step + 1).cast("int"), lit(size)))))
+        .as(Seq("chunk_idx", "chunk")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"),
+        wsTokenCount(col("chunk")).as("chunk_words"))
+  }
+
   /** Language-ID profiles: most-frequent stop words per language
     * (n-gram/marker heuristic; compact on purpose — this is the
     * classic "guess by function words" identifier).

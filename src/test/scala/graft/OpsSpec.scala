@@ -408,4 +408,41 @@ class OpsSpec extends SparkSpec {
     // non-BMP image row keeps the raw-grid fallback (metadata dims)
     assert(out(1).bytes.length == 4 && BmpCodec.decode(out(1).bytes).isEmpty)
   }
+
+  test("redact: typed placeholders, rule order, replace-all; counts per rule") {
+    import spark.implicits._
+    val txt = "mail a.b+x@ex-1.org or c@d.io, host 10.0.0.1, " +
+      "call 555-123-4567, txn 99887766554, pin 123456, short 12345"
+    val row = Seq(txt).toDF("t")
+      .select(Seq(TextOps.redact(col("t")).as("r")) ++ TextOps.piiCounts(col("t")): _*)
+      .head()
+    val red = row.getString(0)
+    assert(red.contains("<EMAIL>") && red.contains("<IP>") &&
+      red.contains("<PHONE>") && red.contains("<NUM>"))
+    assert(!red.matches(".*\\d{6,}.*"), s"no long digit run survives: $red")
+    assert(red.startsWith("mail <EMAIL> or <EMAIL>,"), "replace-all, not first-match")
+    // independent pre-redaction counts: 2 emails, 1 ip, 2 phone-shaped
+    // (the 10-digit txn run also matches the phone rule), 3 long runs?
+    // no: 99887766554 and 123456 -> 2 long runs (12345 is 5 digits)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)) ==
+      ((2L, 1L, 2L, 2L)))
+  }
+
+  test("slidingChunks: exact window geometry, clamped tail, empty docs vanish") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (1L, "a b"),                                    // < size: one chunk
+      (2L, "!!! ???")                                 // 0 words: no rows
+    ).toDF("doc_id", "text")
+    val got = TextOps.slidingChunks(docs, col("doc_id"), col("text"), size = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // step 3: chunks start at words 1, 4, 7, 10 -> ceil(6/3)=2 extra
+    assert(got == Seq(
+      (0L, 0L, "w1 w2 w3 w4", 4L),
+      (0L, 1L, "w4 w5 w6 w7", 4L),
+      (0L, 2L, "w7 w8 w9 w10", 4L),
+      (1L, 0L, "a b", 2L)), s"got $got")
+  }
 }

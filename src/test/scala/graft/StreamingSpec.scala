@@ -224,4 +224,45 @@ class StreamingSpec extends SparkSpec {
     assert(late == Map(99L -> ((2L, 4L, 1L))),
       s"late event must drop+count: got $late")
   }
+
+  test("stateful streaming dedup: first-arrival keeper, chunking-invariant dupe counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    import StreamDedup.{KeptDoc, KeyedDoc}
+
+    // 30 docs over 10 content keys: doc i has key h(i % 10)
+    val docs = (0L until 30L).map(i => KeyedDoc(i, s"h${i % 10}")).toVector
+
+    def run(chunks: Seq[Seq[KeyedDoc]], name: String): Map[String, (Long, Long)] = {
+      val input = MemoryStream[KeyedDoc]
+      val q = StreamDedup.dedupFirst(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+      // n_dupes is monotone per key → its max row is final
+      spark.sql(s"SELECT * FROM $name").as[KeptDoc].collect()
+        .groupBy(_.key)
+        .map { case (k, rows) =>
+          val f = rows.maxBy(_.n_dupes)
+          k -> ((f.keep_id, f.n_dupes))
+        }
+    }
+
+    // delivered in doc-id order: keeper == batch keep-min-id dedup,
+    // under any chronological chunking
+    val expected = (0 until 10).map(k => s"h$k" -> ((k.toLong, 2L))).toMap
+    assert(run(Seq(docs), "dd_one") == expected)
+    assert(run(docs.grouped(7).toSeq, "dd_chunks") == expected,
+      "chronological chunking must not change keeper or counts")
+    // out-of-order delivery, id-descending across batches: keeper is
+    // first-arrival (ids 20..29 land in batch 1, so key h_k keeps
+    // 20+k), but n_dupes stays delivery-invariant. A single reversed
+    // batch would NOT show this — the in-batch fold sorts by id.
+    val reversed = run(docs.reverse.grouped(10).toSeq, "dd_rev")
+    assert(reversed == (0 until 10).map(k => s"h$k" -> ((20L + k, 2L))).toMap,
+      s"reversed delivery keeps first-arrival keeper: got $reversed")
+    assert(reversed.values.map(_._2).toSeq == expected.values.map(_._2).toSeq)
+  }
 }
