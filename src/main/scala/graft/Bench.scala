@@ -176,7 +176,7 @@ object Bench {
       val (th, _) = timedBuildAt(coresHigh, freshDir(s"idxhigh-$r"), scalePath, dpsScale)
       (tl, th, n)
     }
-    // Pair count: env-tunable (SPARK_GRAFT_BENCH_PAIRS, default 2),
+    // Pair count: env-tunable (SPARK_GRAFT_BENCH_PAIRS, default 3),
     // with pairs 2..N additionally deadline-gated — the first pair
     // always runs, and each further pair starts only if its projected
     // cost (the previous pair's measured total + slack) fits inside

@@ -2141,7 +2141,7 @@ object SparkEntry {
           |p AS (SELECT user_id, event_id AS purchase_id, ts
           |      FROM events WHERE event_type = 'purchase')
           |SELECT p.user_id, p.purchase_id, count(*) AS n_clicks,
-          |       (sum(CAST(round(c.value * 100) AS BIGINT))::BIGINT / 100.0)
+          |       (sum(CAST(round(c.value * 100) AS BIGINT))::DOUBLE / 100.0::DOUBLE)
           |         AS click_value_sum
           |FROM p JOIN c ON p.user_id = c.user_id
           |  AND c.click_ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts

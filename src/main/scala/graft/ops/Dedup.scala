@@ -90,9 +90,10 @@ object Dedup {
     * is O(log(diam) · |pairs|) shuffle. Deterministic and
     * partition-invariant: every step is a min over a set.
     *
-    * The returned frame is persisted (its lineage is the whole
-    * propagation loop — recomputing it per downstream action would
-    * replay every round); callers unpersist when done.
+    * The returned frame is local-checkpointed (lineage-free: the
+    * propagation loop's caches are already released by the time it
+    * returns) — downstream actions re-read materialized blocks, never
+    * replay rounds, and the blocks are GC-reclaimed with the frame.
     */
   def clusterIds(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // symmetric edge relation, self-loop per vertex: one join per
@@ -105,15 +106,32 @@ object Dedup {
         .union(p.select(col("id_b"), col("id_b"))).distinct().toDF("src", "dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Every round's labels are EAGERLY local-checkpointed, which
+      // both materializes them and TRUNCATES the logical plan to the
+      // checkpointed blocks. Truncation is load-bearing, not an
+      // optimization: the compression step below references its
+      // input twice (a self-join), so an un-truncated plan would
+      // reference round k-1's plan twice, k-2's four times, ... —
+      // 2^rounds plan nodes. persist() caches DATA but keeps the
+      // logical plan, so Catalyst analysis / AQE explain-string work
+      // still grows exponentially and OOMs around round 8-10 (caught
+      // by the 100-vertex-chain test under suite heap pressure).
+      // Checkpoint blocks are reclaimed by the ContextCleaner when a
+      // round's frame becomes unreachable — no manual unpersist, which
+      // would DELETE a checkpointed frame's only data source.
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
+        // prop is persisted because the compression self-join below
+        // consumes it TWICE — unpersisted, the edges-join-aggregate
+        // would recompute per side, doubling every round's shuffle
         val prop = edges
           .join(labels.select(col("id").as("dst"), col("label")), "dst")
           .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // path compression: label := label(label). Every label value
         // is a vertex id of the same relation (self-loops put every
         // vertex in prop), and label(x) <= x holds inductively, so
@@ -122,13 +140,13 @@ object Dedup {
           .join(prop.select(col("id").as("label"),
             col("label").as("label2")), "label")
           .select(col("id"), col("label2").as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         // convergence probe: any vertex whose label still shrank?
         val changed = next.as("n")
           .join(labels.as("o"), col("n.id") === col("o.id"))
           .filter(col("n.label") < col("o.label"))
           .limit(1).count() > 0
-        labels.unpersist()
+        prop.unpersist()
         labels = next
         converged = !changed
         round += 1
@@ -137,6 +155,8 @@ object Dedup {
         s"clusterIds did not converge in $maxRounds rounds (with path " +
           "compression = component diameter > ~2^" + maxRounds + "); " +
           "raise maxRounds")
+      // projection over the final checkpointed blocks: lineage-free,
+      // cache-manager-free, GC-reclaimed with the frame
       labels.select(col("id"), col("label").as("cluster"))
     } finally {
       edges.unpersist()

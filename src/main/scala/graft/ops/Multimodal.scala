@@ -100,6 +100,19 @@ object Multimodal {
       val h = math.abs(hRaw)
       val rs = rowSize(w)
       if (off < 54 || off.toLong + rs.toLong * h > bytes.length) return None
+      // strict GRAYSCALE contract: an 8-bit BMP's pixels are palette
+      // INDICES — treating them as luminance is only sound when the
+      // palette is the identity ramp (B=G=R=index). Anything else
+      // (inverted, tinted) falls back to the stub rather than
+      // silently reporting index statistics as pixel statistics.
+      if (off != 54 + 256 * 4) return None
+      var pi = 0
+      while (pi < 256) {
+        val base = 54 + pi * 4
+        if ((bytes(base) & 0xff) != pi || (bytes(base + 1) & 0xff) != pi ||
+          (bytes(base + 2) & 0xff) != pi) return None
+        pi += 1
+      }
       val out = new Array[Byte](w * h)
       var row = 0
       while (row < h) {

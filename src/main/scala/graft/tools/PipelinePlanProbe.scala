@@ -118,17 +118,31 @@ object PipelinePlanProbe {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         taskCount.incrementAndGet()
     })
+    // the listener bus is async: a fixed sleep is a race on a
+    // throttled host. Wait until the counter SETTLES (no new task-end
+    // events for two consecutive polls) before reading or resetting.
+    def settled(): Long = {
+      var prev = -1L
+      var cur = taskCount.get()
+      var spins = 0
+      while (cur != prev && spins < 100) { // 100 * 100ms hard bound
+        Thread.sleep(100)
+        prev = cur
+        cur = taskCount.get()
+        spins += 1
+      }
+      cur
+    }
     Seq(
       ("rare-AND", "needle5alpha needle5beta", true),
       ("rare-OR", "needle3alpha needle11beta", false),
       ("dense-OR", "t00000 t00001", false)).foreach { case (label, q, conj) =>
       val routed = eng.routedShards(q, conj).length
       eng.retrieve(q, 10, conjunctive = conj).collect() // warm dict cache
-      Thread.sleep(300)
+      settled()
       taskCount.set(0)
       val hits = eng.retrieve(q, 10, conjunctive = conj).collect().length
-      Thread.sleep(300) // drain task-end events
-      val tasks = taskCount.get()
+      val tasks = settled()
       println(s"[bm25-route] $label routed=$routed tasks=$tasks hits=$hits")
       assert(tasks == routed.toLong,
         s"$label: retrieve must schedule exactly one task per routed shard " +

@@ -383,6 +383,12 @@ class OpsSpec extends SparkSpec {
     assert(BmpCodec.decode(broken).isEmpty)
     // truncated payload rejected (declared size no longer matches)
     assert(BmpCodec.decode(bmp.dropRight(1)).isEmpty)
+    // non-identity palette rejected: pixels would be palette INDICES,
+    // not luminance — an inverted-palette BMP must fall back to the
+    // stub, never report index statistics as pixel statistics
+    val tinted = bmp.clone()
+    tinted(54 + 10 * 4 + 1) = 99.toByte // entry 10's G channel != 10
+    assert(BmpCodec.decode(tinted).isEmpty)
 
     // extractFeatures computes over the DECODED raster for BMP rows
     // (metadata dims deliberately wrong: the header wins), over raw
