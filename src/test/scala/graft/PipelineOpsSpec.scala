@@ -342,4 +342,18 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == (1L to 100L).map(_ -> 1L).toMap)
   }
+
+  test("clusterIds: deep chain (diameter 1499) — constant-size plans per round") {
+    import spark.implicits._
+    // ~13 compression rounds. This depth is the deterministic tripwire
+    // for the lineage trap: the compression self-join doubles the
+    // LOGICAL plan per round unless each round truncates lineage
+    // (localCheckpoint) — under persist-only, round 13 would carry a
+    // ~2^13-node plan and OOM in Catalyst/AQE plan-string work long
+    // before the data (1,500 rows) mattered.
+    val chain = (1L until 1500L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusterIds(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 1500 && got.values.forall(_ == 1L))
+  }
 }
