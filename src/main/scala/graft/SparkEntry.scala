@@ -1090,6 +1090,30 @@ object SparkEntry {
           TextOps.piiCounts(col("t")): _*)
         .orderBy("doc_id")
     }),
+    // per-language EXACT length quantiles (discrete: the value whose
+    // rank is ceil(q·n) under (n_tokens, doc_id) order — well-defined,
+    // interpolation-free, so both engines agree bit-exactly). Exact
+    // per-stratum quantiles cost one sort per stratum; at 10^12 docs
+    // use the sampled/sketched path (hashSample + this, or
+    // percentile_approx) — same exact-beside-sketch split as
+    // q_heavy_hitters / q_kmv_distinct.
+    "q_length_quantiles" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("lang"), col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("n_tokens"))
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))
+      val ranked = base
+        .withColumn("rn", row_number().over(byLang))
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      import s.implicits._
+      val quantiles = Seq(0.5, 0.9, 0.99).toDF("q")
+      ranked.join(broadcast(quantiles),
+          col("rn") === ceil(col("q") * col("cnt")))
+        .select(col("lang"), col("q"), col("n_tokens"))
+        .orderBy("lang", "q")
+    }),
     // sliding-window chunking (size 32 words, overlap 8)
     "q_chunks" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -2200,6 +2224,25 @@ object SparkEntry {
            |SELECT doc_id, md5(${TextOps.redactSql("t")}) AS redacted_md5,
            |       ${TextOps.piiCountsSql("t").mkString(",\n       ")}
            |FROM a ORDER BY doc_id""".stripMargin,
+      // discrete-quantile replay: identical rank arithmetic (ceil of
+      // q·n over the same (n_tokens, doc_id) order) — no interpolation
+      // anywhere, so the values are corpus elements, compared exactly
+      "q_length_quantiles" ->
+        """WITH b AS (
+          |  SELECT lang, doc_id,
+          |         len(list_filter(regexp_split_to_array(text, '\s+'),
+          |             t -> length(t) > 0))::BIGINT AS n_tokens
+          |  FROM documents),
+          |r AS (
+          |  SELECT lang, n_tokens,
+          |         row_number() OVER (PARTITION BY lang
+          |                            ORDER BY n_tokens, doc_id) AS rn,
+          |         count(*) OVER (PARTITION BY lang) AS cnt
+          |  FROM b),
+          |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+          |SELECT r.lang, q.q::DOUBLE AS q, r.n_tokens
+          |FROM r, q WHERE r.rn = ceil(q.q * r.cnt)
+          |ORDER BY 1, 2""".stripMargin,
       // chunking replay: same word split (repetitionWordsSql), same
       // exact integer window arithmetic; list slices clamp at the
       // array end in both engines
