@@ -482,16 +482,21 @@ object SparkEntry {
         .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 2).as("total"))
         .orderBy("o_orderkey")
     }),
-    // J2/O2: semi/anti-join membership flags
+    // J2/O2: semi/anti-join membership flags. One LEFT join against
+    // the distinct order keys classifies every customer as
+    // with/without in a single pass (r6, guide §2.4): the former
+    // semi+anti pair pasted the orders subplan into two joins and
+    // needed a full-outer merge of the two rollups — 10 exchanges →
+    // 4, and segments with only one class fall out as natural zeros
+    // instead of the na.fill
     "q_semi_anti" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
-      val orders = s.read.parquet(s"$dir/orders.parquet")
-      val withO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
-        .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
-      val withoutO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
-        .groupBy("c_mktsegment").agg(count(lit(1)).as("without_orders"))
-      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
-        .na.fill(0L, Seq("with_orders", "without_orders"))
+      val okeys = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey")).distinct()
+      cust.join(okeys, cust("c_custkey") === okeys("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("with_orders"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("without_orders"))
         .orderBy("c_mktsegment")
     }),
     // J3/S11: export join with default fill (screening-decision analog)
@@ -519,10 +524,13 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), tk(col("text")).as("tk_a"))
       val b = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
         .select(col("doc_id").as("id_b"), tk(col("text")).as("tk_b"))
+      // both sides are 25-doc slices: broadcast hints pin the joins to
+      // BHJ at plan time instead of paying shuffle map stages that AQE
+      // would only convert after materializing them (guide §3.1)
       val inter = a.select(col("id_a"), explode(col("tk_a")).as("tok"))
-        .join(b.select(col("id_b"), explode(col("tk_b")).as("tok")), "tok")
+        .join(broadcast(b.select(col("id_b"), explode(col("tk_b")).as("tok"))), "tok")
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-      inter.join(a.select(col("id_a"), size(col("tk_a")).as("sz_a")), "id_a")
+      inter.join(broadcast(a.select(col("id_a"), size(col("tk_a")).as("sz_a"))), "id_a")
         .withColumn("overlap", col("inter").cast("double") / col("sz_a"))
         .filter(col("inter") >= 3 && col("overlap") >= 0.6)
         .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
@@ -554,10 +562,14 @@ object SparkEntry {
           col("p.ref_id").as("exact_key"),
           EntityResolution.normKey(col("p.title")).as("norm_key"),
           EntityResolution.tokenSet(col("p.title")).as("tk"))
-      val catalog = docs.select(col("doc_id").as("cid"),
+      // 60-row catalog: the broadcast hint propagates through the
+      // cascade's projections/filters and pins every catalog-side join
+      // to BHJ at plan time (guide §3.1) — caller-side knowledge, the
+      // operator itself stays shuffle-capable for big catalogs
+      val catalog = broadcast(docs.select(col("doc_id").as("cid"),
         (col("doc_id") + 1000000).cast("string").as("exact_key"),
         EntityResolution.normKey(substring(col("text"), 1, 80)).as("norm_key"),
-        EntityResolution.tokenSet(col("text")).as("tk"))
+        EntityResolution.tokenSet(col("text")).as("tk")))
       EntityResolution.resolveCascade(parsed, catalog, minInter = 3, minOverlap = 0.4)
         .select(col("qid"), col("cid"), col("method"),
           round(col("score"), 6).as("score"))
@@ -607,7 +619,9 @@ object SparkEntry {
           EntityResolution.normKey(substring(col("p.authors"), 1, 30)).as("author_key"),
           col("p.year").as("year"),
           EntityResolution.tokenSet(col("p.title")).as("tk"))
-      val catalog = docs.select(col("doc_id").as("cid"),
+      // 60-row catalog: broadcast-hinted for the same reason as
+      // q_entity_resolution (plan-time BHJ on every catalog-side join)
+      val catalog = broadcast(docs.select(col("doc_id").as("cid"),
         (col("doc_id") + 1000000).cast("string").as("exact_key"),
         EntityResolution.normDoi(
           concat(lit("10.1000/d"), col("doc_id").cast("string"))).as("doi_key"),
@@ -615,7 +629,7 @@ object SparkEntry {
         EntityResolution.normKey(
           concat(lit("Author"), col("doc_id").cast("string"), lit(" B"))).as("author_key"),
         lit("2021").as("year"),
-        EntityResolution.tokenSet(col("text")).as("tk"))
+        EntityResolution.tokenSet(col("text")).as("tk")))
       EntityResolution.resolveCascadeFull(parsed, catalog)
         .select(col("qid"), col("cid"), col("method"),
           round(col("score"), 6).as("score"))
@@ -664,22 +678,28 @@ object SparkEntry {
         .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour", "event_type")
     }),
-    // O1/O3: union + intersect/except set semantics — the three set
-    // operators union into ONE tagged relation so a single action
-    // (not three driver round-trips) computes all counts
+    // O1/O3: union + intersect/except set semantics. INTERSECT /
+    // EXCEPT / UNION-DISTINCT over two filtered projections of the
+    // same table are per-key membership predicates, so one
+    // groupBy(custkey) computing both membership flags replaces the
+    // three set operators (r6, guide §2.4): the former plan scanned
+    // orders 6x and paid a distinct-style exchange pair per set op
+    // (12 exchanges, 7 jobs); this is one scan + one aggregation —
+    // and the single-pass shape is also the 100 TB plan. Set
+    // semantics preserved exactly: SQL INTERSECT/EXCEPT/UNION are
+    // DISTINCT by definition, and `both + hi_only + ...` arithmetic
+    // over membership flags is the same cardinality algebra.
     "q_set_ops" -> ((s, dir) => {
       val orders = s.read.parquet(s"$dir/orders.parquet")
-      val hi = orders.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
-      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
-      def tag(df: org.apache.spark.sql.DataFrame, k: String) =
-        df.select(lit(k).as("k"))
-      tag(hi.intersect(urgent), "both")
-        .union(tag(hi.except(urgent), "hi_only"))
-        .union(tag(hi.union(urgent).distinct(), "union_distinct"))
-        .agg(
-          sum(when(col("k") === "both", 1L).otherwise(0L)).as("both"),
-          sum(when(col("k") === "hi_only", 1L).otherwise(0L)).as("hi_only"),
-          sum(when(col("k") === "union_distinct", 1L).otherwise(0L)).as("union_distinct"))
+      val flags = orders
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("o_totalprice") > 300000, 1L).otherwise(0L)).as("hi"),
+          max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("ur"))
+      flags.agg(
+        sum(when(col("hi") === 1L && col("ur") === 1L, 1L).otherwise(0L)).as("both"),
+        sum(when(col("hi") === 1L && col("ur") === 0L, 1L).otherwise(0L)).as("hi_only"),
+        sum(when(col("hi") === 1L || col("ur") === 1L, 1L).otherwise(0L))
+          .as("union_distinct"))
     }),
     // scalar functions: regex extraction + JSON field access
     "q_scalar_funcs" -> ((s, dir) => {

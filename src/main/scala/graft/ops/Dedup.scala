@@ -97,58 +97,76 @@ object Dedup {
     */
   def clusterIds(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     // symmetric edge relation, self-loop per vertex: one join per
-    // round then covers "self and neighbors" in a single min
+    // round then covers "self and neighbors" in a single min.
+    // Self-loop duplicates are NOT distinct'd: every consumer is a
+    // min-aggregation, so duplicates cost bytes but never correctness,
+    // and the distinct was a whole extra exchange in round 1.
     val p = pairs.select(col("id_a"), col("id_b"))
     val edges = p
       .union(p.select(col("id_b"), col("id_a")))
+      .union(p.select(col("id_a"), col("id_a")))
+      .union(p.select(col("id_b"), col("id_b")))
       .toDF("src", "dst")
-      .union(p.select(col("id_a"), col("id_a"))
-        .union(p.select(col("id_b"), col("id_b"))).distinct().toDF("src", "dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Every round's labels are EAGERLY local-checkpointed, which
-      // both materializes them and TRUNCATES the logical plan to the
+      // Loop shape (r6, guide §2.4 — fewest jobs per round): each
+      // round localCheckpoints the PROPAGATE output, which both
+      // materializes it and TRUNCATES the logical plan to the
       // checkpointed blocks. Truncation is load-bearing, not an
-      // optimization: the compression step below references its
-      // input twice (a self-join), so an un-truncated plan would
-      // reference round k-1's plan twice, k-2's four times, ... —
-      // 2^rounds plan nodes. persist() caches DATA but keeps the
-      // logical plan, so Catalyst analysis / AQE explain-string work
-      // still grows exponentially and OOMs around round 8-10 (caught
-      // by the 100-vertex-chain test under suite heap pressure).
-      // Checkpoint blocks are reclaimed by the ContextCleaner when a
-      // round's frame becomes unreachable — no manual unpersist, which
-      // would DELETE a checkpointed frame's only data source.
-      var labels = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label"))
+      // optimization: the compression step references its input twice
+      // (a self-join), so an un-truncated plan would reference round
+      // k-1's plan twice, k-2's four times, ... — 2^rounds plan
+      // nodes. persist() caches DATA but keeps the logical plan, so
+      // Catalyst analysis / AQE explain-string work still grows
+      // exponentially and OOMs around round 8-10 (pinned by the
+      // 1500-vertex deep-chain test). Because the checkpoint lands on
+      // the propagate output, the compression self-join is a
+      // constant-size lazy plan over checkpoint leaves and needs no
+      // persist/checkpoint of its own — round k's whole plan is
+      // edges ⋈ (ckpt ⋈ ckpt), never deeper.
+      //
+      // Convergence probe: labels only SHRINK (propagate takes a min
+      // over a superset including self; compression hops to
+      // label(label) <= label), so the label sum is strictly
+      // monotone-decreasing until the fixpoint — comparing successive
+      // propagate sums (decimal: overflow-proof under ANSI at any
+      // scale) detects the fixpoint with one tiny aggregate over the
+      // just-checkpointed blocks instead of the former
+      // next-vs-previous equi-JOIN (a full extra shuffle per round).
+      // Soundness: sum(prop_k) == sum(prop_{k-1}) collapses the
+      // pointwise-monotone chain prop_{k-1} >= comp_{k-1} >= prop_k
+      // into equality everywhere, i.e. the true propagate+compress
+      // fixpoint; any real change keeps the sums strictly decreasing.
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+      }
+      // round 1: propagate over identity labels = plain min(dst) —
+      // the former identity-label init plus first-round join, fused
+      // into one aggregation (one fewer checkpoint round)
+      var labels = edges
+        .groupBy(col("src").as("id")).agg(min(col("dst")).as("label"))
         .localCheckpoint(true)
-      var round = 0
+      var sumPrev = labelSum(labels)
+      var round = 1
       var converged = false
       while (!converged && round < maxRounds) {
-        // prop is persisted because the compression self-join below
-        // consumes it TWICE — unpersisted, the edges-join-aggregate
-        // would recompute per side, doubling every round's shuffle
-        val prop = edges
-          .join(labels.select(col("id").as("dst"), col("label")), "dst")
-          .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // path compression: label := label(label). Every label value
         // is a vertex id of the same relation (self-loops put every
-        // vertex in prop), and label(x) <= x holds inductively, so
+        // vertex in labels), and label(x) <= x holds inductively, so
         // the inner join is total and the hop only shrinks labels.
-        val next = prop.as("a")
-          .join(prop.select(col("id").as("label"),
+        val comp = labels.as("a")
+          .join(labels.select(col("id").as("label"),
             col("label").as("label2")), "label")
           .select(col("id"), col("label2").as("label"))
+        val prop = edges
+          .join(comp.select(col("id").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
           .localCheckpoint(true)
-        // convergence probe: any vertex whose label still shrank?
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") < col("o.label"))
-          .limit(1).count() > 0
-        prop.unpersist()
-        labels = next
-        converged = !changed
+        val s = labelSum(prop)
+        converged = s.compareTo(sumPrev) == 0
+        sumPrev = s
+        labels = prop
         round += 1
       }
       require(converged,
@@ -321,11 +339,32 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
-    * candidate pairs → exact-verify ≥ tau. One corpus-wide shuffle
-    * builds signatures+sizes; candidate pairs come only from the LSH
-    * bucket join; the verify stage touches candidate docs' shingles
-    * only (semi-join before any value self-join), so no stage ever
-    * fans out on a hot boilerplate shingle.
+    * candidate pairs → exact-verify ≥ tau.
+    *
+    * Plan shape (r6): the shingle-hash SET rides the one signature
+    * groupBy as a collected array and is carried THROUGH the band
+    * exchange, so the exact-Jaccard verify is pair-local
+    * `array_intersect` arithmetic inside pair generation — the former
+    * formulation pasted the corpus-sized shingle relation into THREE
+    * subplans (signature build, pair-explode side, semi-join side:
+    * three full tokenize+md5 passes) and paid two more exchanges for
+    * the verify joins. Same carry-through-vs-rejoin byte tradeoff as
+    * `Similarity.lshCosinePairsMulti` (which carries vectors): the
+    * band shuffle carries `bands` copies of each doc's ~dl shingle
+    * hashes instead of bare (id, sz), but the join formulation
+    * re-shuffled the whole shingle relation twice on top of the
+    * candidate relation — for moderate documents carry-through is
+    * fewer total bytes and three fewer stage waves. Size
+    * maxBucketSize against document length: one collected bucket
+    * (maxBucketSize · dl · 8 bytes) must fit a task, the same sizing
+    * rule as the vector carry-through. Multi-band duplicate pairs
+    * verify redundantly (bounded by `bands`) and dedup after the tau
+    * filter, where the relation is smallest.
+    *
+    * Exact, not approximate: intersections are over the full distinct
+    * shingle-hash sets (arrays are distinct by construction), so
+    * jaccard values are bit-identical to the join formulation
+    * (OpsSpec pins them against brute force).
     */
   def minhashDedup(
       df: DataFrame,
@@ -336,13 +375,41 @@ object Dedup {
       bands: Int = 4,
       tau: Double = 0.6,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sh = shingles(df, id, text, shingleSize)
-    val sig = minhashSignatures(sh, numHashes)
-    // sizes ride the candidate pairs (one signature computation total);
-    // multi-band duplicate pairs dedup here, before the verify explode
-    jaccardForSizedPairs(sh,
-      lshCandidatesWithSizes(sig, numHashes, bands, maxBucketSize).distinct())
+    // raw (non-distinct) shingles: min() is duplicate-insensitive and
+    // collect_set dedups inside the ONE groupBy — the separate
+    // corpus-wide distinct exchange the join formulation needed for
+    // its set sizes is gone (sz = size of the collected set)
+    val sh = shingles(df, id, text, shingleSize, distinct = false)
+    val aggs = (0 until numHashes).map(i =>
+      min(Hashing.minhashPerm(i, col("sh"))).as(s"mh$i")) :+
+      collect_set(col("sh")).as("sharr")
+    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("sz", size(col("sharr")).cast("long"))
+    val rows = numHashes / bands
+    val bandCols = (0 until bands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        Hashing.hash32(concat_ws(",",
+          (bIdx * rows until (bIdx + 1) * rows).map(i => col(s"mh$i").cast("string")): _*))
+          .as("bucket"))
+    }
+    sig
+      .select(col("id"), col("sz"), col("sharr"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sz"), col("sharr"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sz"), col("sharr"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sharr"), col("b.sharr"))).cast("double") /
+          (col("a.sz") + col("b.sz") -
+            size(array_intersect(col("a.sharr"), col("b.sharr")))))
+          .as("jaccard"))
       .filter(col("jaccard") >= tau)
+      .distinct()
   }
 
   /** 32-bit SimHash per document: bit b of the signature is the sign
@@ -390,20 +457,29 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bits).bitwiseAND(lit(mask)).as("chunk"))
     }
+    // Pair generation is a grouped double-explode, not a chunk-keyed
+    // self-join (r6, guide §2.4): the join pasted the whole signature
+    // subplan (tf + bit-sum aggregations over the corpus) into BOTH
+    // sides — two full signature computations — while a chunk-keyed
+    // self-join lands every chunk's members in one task anyway. Same
+    // shape as lshCandidatesWithSizes / lshCosinePairsMulti. Exact
+    // Hamming verify before the dedup exchange so the distinct runs
+    // over the smallest relation.
     val chunks = sig
       .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"),
         col("bb.chunk").as("chunk"))
-    chunks.as("l")
-      .join(chunks.as("r"),
-        col("l.band") === col("r.band") && col("l.chunk") === col("r.chunk") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
-      .distinct() // a close pair matches in several bands
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    chunks
+      .groupBy(col("band"), col("chunk"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct() // a close pair matches in several bands
   }
 
   /** Exact n-gram Jaccard similarity join over the full corpus:

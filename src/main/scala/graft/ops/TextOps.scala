@@ -26,12 +26,13 @@ object TextOps {
     */
   def qualityMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
     val ws = filter(split(text, "\\s+"), t => length(t) > 0)
-    val stops = array(Tokenizer.StopWordsSorted.map(lit): _*)
+    // isin, not array_contains(<literal array>): see Tokenizer.tokensCol
     df.select(
       id.as("id"),
       length(text).cast("long").as("n_chars"),
       size(ws).cast("long").as("n_ws_tokens"),
-      round(size(filter(ws, t => array_contains(stops, lower(t)))).cast("double") /
+      round(size(filter(ws, t => lower(t).isin(Tokenizer.StopWordsSorted: _*)))
+        .cast("double") /
         greatest(size(ws), lit(1)), 6).as("stopword_ratio"),
       round(length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
         greatest(length(text), lit(1)), 6).as("upper_ratio"),
@@ -240,9 +241,10 @@ object TextOps {
     */
   def langIdCol(text: Column): Column = {
     val ws = split(lower(text), "[^\\p{L}]+")
+    // isin, not array_contains(<literal array>): see Tokenizer.tokensCol
     val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(
-        size(filter(ws, t => array_contains(array(markers.map(lit): _*), t))).as("score"),
+        size(filter(ws, t => t.isin(markers: _*))).as("score"),
         lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)

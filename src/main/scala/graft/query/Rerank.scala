@@ -28,10 +28,11 @@ object Rerank {
     */
   def adjacentPairCount(text: Column, qTerms: Seq[String]): Column = {
     val tk = Tokenizer.tokensCol(text)
-    val terms = array(qTerms.distinct.sorted.map(lit): _*)
+    // isin, not array_contains(<literal array>): see Tokenizer.tokensCol
+    val terms = qTerms.distinct.sorted
     size(filter(
       zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(1))), (a, b) =>
-        array_contains(terms, a) && array_contains(terms, b)),
+        a.isin(terms: _*) && b.isin(terms: _*)),
       x => x))
   }
 

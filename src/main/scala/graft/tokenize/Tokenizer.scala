@@ -52,13 +52,18 @@ object Tokenizer {
 
   /** Column-expression tokenizer — identical semantics to [[tokenize]],
     * stays inside whole-stage codegen (no UDF).
+    *
+    * Stop-word membership is `isin` (an `In` predicate), NOT
+    * `array_contains(<literal array>, t)`: constant folding does not
+    * descend into higher-order-function lambdas, so the literal-array
+    * form rebuilds the 60-element array once per token of every
+    * document (the known trap in CLAUDE.md / memory) — measured ~2x
+    * the whole tokenize cost at the gate SFs.
     */
-  def tokensCol(text: Column): Column = {
-    val stops = array(StopWordsSorted.map(lit): _*)
+  def tokensCol(text: Column): Column =
     filter(
       split(lower(text), SplitPattern),
-      t => length(t) >= lit(MinLen) && !array_contains(stops, t))
-  }
+      t => length(t) >= lit(MinLen) && !t.isin(StopWordsSorted: _*))
 
   /** SQL stop-list literal, usable in both Spark SQL and DuckDB. */
   def stopListSql: String =
