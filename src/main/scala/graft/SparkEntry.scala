@@ -556,12 +556,20 @@ object SparkEntry {
           when(col("doc_id") % 3 === 2, substring(col("text"), 21, 100))
             .otherwise(upper(substring(col("text"), 1, 80))),
           lit("\" (2021)")).as("citation"))
+      // localCheckpoint: the cascade references each input in several
+      // stage subplans — un-materialized, the scan + citation-regexp
+      // parse + tokenize would be pasted into every copy (the r5 plan
+      // re-scanned documents.parquet per stage). Materializing the
+      // bounded parsed/catalog projections once is guide §3.3's
+      // truncate-the-plan move, and the same thing a production
+      // pipeline does with a parsed-citation table.
       val parsed = cit
         .select(col("qid"), EntityResolution.parseCitation(col("citation")).as("p"))
         .select(col("qid"),
           col("p.ref_id").as("exact_key"),
           EntityResolution.normKey(col("p.title")).as("norm_key"),
           EntityResolution.tokenSet(col("p.title")).as("tk"))
+        .localCheckpoint(true)
       // 60-row catalog: the broadcast hint propagates through the
       // cascade's projections/filters and pins every catalog-side join
       // to BHJ at plan time (guide §3.1) — caller-side knowledge, the
@@ -569,7 +577,8 @@ object SparkEntry {
       val catalog = broadcast(docs.select(col("doc_id").as("cid"),
         (col("doc_id") + 1000000).cast("string").as("exact_key"),
         EntityResolution.normKey(substring(col("text"), 1, 80)).as("norm_key"),
-        EntityResolution.tokenSet(col("text")).as("tk")))
+        EntityResolution.tokenSet(col("text")).as("tk"))
+        .localCheckpoint(true))
       EntityResolution.resolveCascade(parsed, catalog, minInter = 3, minOverlap = 0.4)
         .select(col("qid"), col("cid"), col("method"),
           round(col("score"), 6).as("score"))
@@ -610,6 +619,9 @@ object SparkEntry {
       val cit = docs.select(col("doc_id").as("qid"),
         concat(authorPart,
           pmid, doiPart, quoted, lit(" (2021)")).as("citation"))
+      // localCheckpoint + broadcast hint: same rationale as
+      // q_entity_resolution — the five-stage cascade pasted the
+      // documents scan + parse into ~18 subplan copies in the r5 plan
       val parsed = cit
         .select(col("qid"), EntityResolution.parseCitation(col("citation")).as("p"))
         .select(col("qid"),
@@ -619,8 +631,7 @@ object SparkEntry {
           EntityResolution.normKey(substring(col("p.authors"), 1, 30)).as("author_key"),
           col("p.year").as("year"),
           EntityResolution.tokenSet(col("p.title")).as("tk"))
-      // 60-row catalog: broadcast-hinted for the same reason as
-      // q_entity_resolution (plan-time BHJ on every catalog-side join)
+        .localCheckpoint(true)
       val catalog = broadcast(docs.select(col("doc_id").as("cid"),
         (col("doc_id") + 1000000).cast("string").as("exact_key"),
         EntityResolution.normDoi(
@@ -629,7 +640,8 @@ object SparkEntry {
         EntityResolution.normKey(
           concat(lit("Author"), col("doc_id").cast("string"), lit(" B"))).as("author_key"),
         lit("2021").as("year"),
-        EntityResolution.tokenSet(col("text")).as("tk")))
+        EntityResolution.tokenSet(col("text")).as("tk"))
+        .localCheckpoint(true))
       EntityResolution.resolveCascadeFull(parsed, catalog)
         .select(col("qid"), col("cid"), col("method"),
           round(col("score"), 6).as("score"))
@@ -971,6 +983,12 @@ object SparkEntry {
     // upper bound (bucket count) next to the exact cf.
     "q_heavy_hitters_sketch" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
+      // NOT materialized: sketchTopK traverses the exploded token
+      // relation twice, but a localCheckpoint of the exploded rows
+      // measured SLOWER than the recompute on this VM (fresh-page
+      // faults — the same persist-vs-recompute trap as the minhash
+      // shingle relation, memory/vm-performance-traps); recompute wins
+      // here exactly as the HeavyHitters scaladoc's tradeoff note says
       val terms = docs.select(col("lang"),
         explode(Tokenizer.tokensCol(col("text"))).as("term"))
       HeavyHitters.sketchTopK(terms, col("lang"), col("term"),
@@ -1002,9 +1020,15 @@ object SparkEntry {
       val base = docs.select(col("doc_id"), col("text"),
         TextOps.wsTokenCount(col("text")).as("n"))
       val q = base.filter(col("n") >= 10)
-      val keep = q.groupBy(TextOps.fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val deduped = q.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      // keep-lowest-id per fingerprint as ONE window (r6, guide §2.4):
+      // the former groupBy(fp).min + left_semi join pasted the
+      // quality-gated subplan (scan + tokenize + count) into both join
+      // sides and paid two exchanges; row_number over (fp, doc_id) is
+      // one exchange, doc_id unique so rank 1 is the same survivor set
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(TextOps.fingerprint(col("text"))).orderBy(col("doc_id"))
+      val deduped = q.withColumn("rnfp", row_number().over(wFp))
+        .filter(col("rnfp") === 1).drop("rnfp")
       val train = deduped.filter(
         Sampling.splitAssign(col("doc_id"), 9000, 500) === "train")
       Pack.binSummary(Pack.packSequences(train, col("doc_id"), col("n"),

@@ -143,10 +143,15 @@ object Dedup {
       }
       // round 1: propagate over identity labels = plain min(dst) —
       // the former identity-label init plus first-round join, fused
-      // into one aggregation (one fewer checkpoint round)
+      // into one aggregation (one fewer checkpoint round). Checkpoints
+      // are LAZY: the logical plan is truncated either way, and the
+      // convergence-sum aggregate below is the action that both
+      // computes the round's labels into checkpoint blocks and probes
+      // the fixpoint — ONE job per round instead of an eager
+      // materialization job plus a probe job.
       var labels = edges
         .groupBy(col("src").as("id")).agg(min(col("dst")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var sumPrev = labelSum(labels)
       var round = 1
       var converged = false
@@ -162,7 +167,7 @@ object Dedup {
         val prop = edges
           .join(comp.select(col("id").as("dst"), col("label")), "dst")
           .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val s = labelSum(prop)
         converged = s.compareTo(sumPrev) == 0
         sumPrev = s
@@ -495,14 +500,25 @@ object Dedup {
       tau: Double = 0.5,
       maxShingleDf: Int = 1000): DataFrame = {
     val sh0 = shingles(df, id, text, n).select(col("id"), col("sh"))
-    val rare = sh0.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
-      .filter(col("sdf") <= maxShingleDf)
-    val sh = sh0.join(rare, "sh").select(col("id"), col("sh"))
-    val sizes = sh0.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Pair generation is a grouped double-explode per shingle (r6,
+    // guide §2.4), fusing the stop-shingle guard into the SAME
+    // groupBy as a free size filter: the former rare-filter semi-join
+    // + shingle-keyed self-join pasted the shingle subplan into four
+    // copies (four corpus tokenize+hash passes) — a shingle-keyed
+    // self-join lands a shingle's members in one task anyway, so the
+    // fan-out profile is unchanged (the df cap bounds the m² explode
+    // exactly as before). sh0 is now consumed twice (pair pass +
+    // size pass), the same residual-recompute tradeoff as
+    // HeavyHitters' two passes.
+    val grp = sh0.groupBy(col("sh")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleDf))
+    val inter = grp
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+    val sizes = sh0.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")

@@ -238,13 +238,23 @@ object TextOps {
   /** Marker-word language ID over a column: language with the highest
     * marker hit count, 'und' (undetermined) when nothing matches.
     * Pure column expression — no UDF.
+    *
+    * Marker counting is one codegen'd `regexp_count` per language
+    * (alternation bounded by non-letter lookarounds), not a
+    * split + higher-order filter: the HOF form is interpreted
+    * per-token and was the whole cost of q_lang_id. Equivalence with
+    * the split-token formulation: the split pattern `[^\p{L}]+`
+    * makes token boundaries exactly the non-letter characters, which
+    * is what the lookarounds assert, so matches are precisely the
+    * tokens equal to a marker (pinned against the pure-Scala twin in
+    * OpsSpec, including digit-boundary and accent cases).
     */
   def langIdCol(text: Column): Column = {
-    val ws = split(lower(text), "[^\\p{L}]+")
-    // isin, not array_contains(<literal array>): see Tokenizer.tokensCol
+    val lt = lower(text)
     val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(
-        size(filter(ws, t => t.isin(markers: _*))).as("score"),
+        regexp_count(lt,
+          lit("(?<!\\p{L})(?:" + markers.mkString("|") + ")(?!\\p{L})")).as("score"),
         lit(lang).as("lang"))
     }
     val best = greatest(scores: _*)

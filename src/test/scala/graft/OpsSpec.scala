@@ -296,10 +296,17 @@ class OpsSpec extends SparkSpec {
     assert(TextOps.langId("le chat est dans la maison et les oiseaux") == "fr")
     assert(TextOps.langId("el perro es grande y los gatos no son una cosa") == "es")
     assert(TextOps.langId("xyzzy qwerty plugh") == "und")
-    // column twin agrees
+    // column twin agrees — including the regexp_count boundary cases
+    // (r6: markers count via non-letter lookarounds, which must see
+    // exactly the `[^\p{L}]+`-split tokens): digits are non-letters
+    // (so break tokens), accents are letters (so extend them),
+    // adjacent markers, marker-as-substring, repeated markers, and
+    // uppercase folding
     import spark.implicits._
     val texts = Seq("the cat is on the mat", "der hund und die katze",
-      "le chat et la souris", "el gato y los perros", "zzz qqq")
+      "le chat et la souris", "el gato y los perros", "zzz qqq",
+      "the5and thé theory other12the THE the",
+      "lesles les le la", "", "und7und a-the-b")
     val got = texts.toDF("text").select(TextOps.langIdCol(col("text"))).collect()
       .map(_.getString(0))
     assert(got.toSeq == texts.map(TextOps.langId))
