@@ -79,6 +79,15 @@ object AsofJoin {
     val clash = rightPayload.intersect(left.columns.toSeq)
     require(clash.isEmpty, s"column name clash between sides: $clash")
 
+    // null-timestamp rows never match: DuckDB ASOF and pandas
+    // merge_asof both exclude them, and under the union-scan ordering
+    // a null rightTs would sort nulls-first and latch as a bogus
+    // 'nearest' match (ADVICE r5). Left rows with null ts keep their
+    // no-match (null payload) row via the left-side filter below —
+    // dropping them entirely would change the output row set, so they
+    // stay, and sorting them to one end is harmless once no null
+    // right row can latch. Right rows with null ts are dropped.
+    val right0 = right.filter(col(rightTs).isNotNull)
     // one tagged relation: (keys, sort ts, side, left cols, packed
     // right payload). side 0 (right) < 1 (left) makes equal-ts right
     // rows visible to the left row — the inclusive bound.
@@ -87,7 +96,7 @@ object AsofJoin {
         Seq(col(leftTs).as("_asof_ts"), lit(1).as("_asof_side")) ++
         leftPayload.map(col) :+
         lit(null).cast(structType(right, rightPayload)).as("_asof_r"): _*)
-    val taggedRight = right.select(
+    val taggedRight = right0.select(
       keyCols.map(col) ++
         Seq(col(rightTs).as("_asof_ts"), lit(0).as("_asof_side")) ++
         leftPayload.map(c => lit(null).cast(leftSchema(left, c)).as(c)) :+
@@ -103,6 +112,11 @@ object AsofJoin {
     val matched = taggedLeft.unionByName(taggedRight)
       .withColumn("_asof_hit", last(col("_asof_r"), ignoreNulls = true).over(timeline))
       .filter(col("_asof_side") === 1)
+      // a null leftTs can never match (it has no position on the
+      // timeline — in forward mode it would otherwise latch whatever
+      // right row the nulls-last ordering parks it behind)
+      .withColumn("_asof_hit",
+        when(col("_asof_ts").isNotNull, col("_asof_hit")))
     val gated = toleranceUs match {
       case None => matched
       case Some(tol) =>

@@ -95,8 +95,12 @@ object Multimodal {
       val planes = buf.getShort()
       val bits = buf.getShort()
       val comp = buf.getInt()
+      // hRaw == Int.MinValue would defeat the abs below (abs(MinValue)
+      // stays negative) and crash allocation — reject like any other
+      // malformed header (ADVICE r5)
       if (bfSize != bytes.length || biSize != 40 || planes != 1 ||
-        bits != 8 || comp != 0 || w <= 0 || hRaw == 0) return None
+        bits != 8 || comp != 0 || w <= 0 || hRaw == 0 ||
+        hRaw == Int.MinValue) return None
       val h = math.abs(hRaw)
       val rs = rowSize(w)
       if (off < 54 || off.toLong + rs.toLong * h > bytes.length) return None

@@ -191,6 +191,32 @@ object PipelinePlanProbe {
         "nested-loop/cartesian means the bucket key fell out of the join")
     assert(rj.count() > 0)
 
+    // ---- minhash LSH dedup: the r6 carry-through plan is JOIN-FREE
+    // and single-pass — the shingle relation must appear ONCE (the r5
+    // join formulation pasted it into three subplans = three corpus
+    // tokenize+md5 passes, and the r5-judge-flagged wave count came
+    // from exactly those extra exchanges). Bound: 1 input scan, 0
+    // joins, ≤ 3 shuffle exchanges (signature groupBy, bucket
+    // groupBy, pair distinct).
+    val mh = graft.ops.Dedup.minhashDedup(docs, col("doc_id"), col("text"),
+      shingleSize = 2, numHashes = 16, bands = 4, tau = 0.2)
+    val mplan = mh.queryExecution.executedPlan.toString
+    val mScans = "LocalTableScan".r.findAllMatchIn(mplan).size +
+      "FileScan".r.findAllMatchIn(mplan).size
+    val mJoins = "Join".r.findAllMatchIn(mplan).size
+    val mExchanges = "ShuffleExchange".r.findAllMatchIn(mplan).size +
+      " Exchange".r.findAllMatchIn(mplan).size
+    println(s"[minhash] scans=$mScans joins=$mJoins shuffleExchanges=$mExchanges")
+    assert(mScans == 1,
+      s"minhashDedup must tokenize the corpus ONCE (carry-through plan), got $mScans scans")
+    assert(mJoins == 0,
+      "minhashDedup must be join-free (grouped double-explode + pair-local " +
+        "array_intersect) — a Join node means the three-pass formulation returned")
+    assert(mExchanges <= 3,
+      s"minhashDedup must shuffle at most 3 times (sig groupBy, bucket groupBy, " +
+        s"pair distinct), got $mExchanges")
+    assert(mh.count() >= 0)
+
     println("[pipeline-plan-probe] ALL ASSERTIONS PASSED")
     spark.stop()
   }

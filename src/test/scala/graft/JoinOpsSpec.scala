@@ -88,6 +88,27 @@ class JoinOpsSpec extends SparkSpec {
     assert(rows("l10").isEmpty, "no right row at or after t=10")
   }
 
+  test("asof: null timestamps never match, on either side, in both directions") {
+    import spark.implicits._
+    // right row with null rt must not latch as anyone's match; left
+    // rows with null t survive with a null payload (DuckDB ASOF /
+    // pandas merge_asof semantics — ADVICE r5)
+    val left = ts(Seq((1L, Some(5L), "l5"), (1L, Option.empty[Long], "lnull"))
+      .toDF("k", "t", "ltag"), "t")
+    val right = ts(Seq((1L, Some(1L), "r1"), (1L, Option.empty[Long], "rnull"))
+      .toDF("k", "rt", "rtag"), "rt")
+    for (dir <- Seq("backward", "forward")) {
+      val rows = AsofJoin.asofJoin(left, right, Seq("k"), "t", "rt",
+          direction = dir)
+        .select("ltag", "rtag").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      val want = if (dir == "backward") Some("r1") else None
+      assert(rows("l5") == want, s"$dir: null-ts right row must not latch")
+      assert(rows("lnull").isEmpty, s"$dir: null-ts left row matches nothing")
+      assert(rows.size == 2, s"$dir: every left row survives exactly once")
+    }
+  }
+
   test("asof: tolerance nulls out a match farther than the window") {
     import spark.implicits._
     val left = ts(Seq((1L, 100L, "near"), (1L, 500L, "far")).toDF("k", "t", "ltag"), "t")

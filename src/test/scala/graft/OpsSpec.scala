@@ -396,6 +396,14 @@ class OpsSpec extends SparkSpec {
     val tinted = bmp.clone()
     tinted(54 + 10 * 4 + 1) = 99.toByte // entry 10's G channel != 10
     assert(BmpCodec.decode(tinted).isEmpty)
+    // biHeight = Int.MinValue: abs() stays negative and would defeat
+    // the bounds check — must reject like any malformed header
+    // (ADVICE r5)
+    val minH = bmp.clone()
+    val hb = java.nio.ByteBuffer.wrap(minH)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(22, Int.MinValue) // biHeight field offset
+    assert(BmpCodec.decode(minH).isEmpty)
 
     // extractFeatures computes over the DECODED raster for BMP rows
     // (metadata dims deliberately wrong: the header wins), over raw
