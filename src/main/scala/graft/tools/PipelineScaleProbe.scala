@@ -125,6 +125,29 @@ object PipelineScaleProbe {
         Pack.binSummary(Pack.packSequences(turns, col("id"),
           TextOps.wsTokenCount(col("text")), budget = 2048)).count()
       }
+      // r5 join ops at bench-corpus scale (r5 VERDICT ask #6): the
+      // gate fixtures are 500-5,000 events — these rows time the
+      // union-scan as-of and the bucketed range join over the full
+      // transcript corpus (per-conv keys, user turns as the interval/
+      // left side, assistant turns as the point/right side)
+      time("asof_join") {
+        val purchases = turns.filter(col("role") === "user")
+          .select(col("conv_id").as("k"), col("ts"), col("id").as("pid"))
+        val clicks = turns.filter(col("role") === "assistant")
+          .select(col("conv_id").as("k"), col("ts").as("cts"), col("id").as("cid"))
+        graft.ops.AsofJoin.asofJoin(purchases, clicks, Seq("k"), "ts", "cts")
+          .count()
+      }
+      time("range_join") {
+        val pts = turns.filter(col("role") === "assistant")
+          .select(col("conv_id").as("k"), col("ts").as("pt"), col("id").as("cid"))
+        val ivs = turns.filter(col("role") === "user")
+          .select(col("conv_id").as("k"),
+            (col("ts") - expr("INTERVAL 1 HOUR")).as("ws"),
+            col("ts").as("we"), col("id").as("pid"))
+        graft.ops.RangeJoin.pointInInterval(
+          pts, ivs, Seq("k"), "pt", "ws", "we", bucketWidthSec = 3600L).count()
+      }
       // the Pack scaladoc's production shape: token counts come from a
       // materialized table (16 bytes/row), so the double consumption
       // of the (id, n) projection stops re-tokenizing — this times the
