@@ -156,16 +156,20 @@ object Dedup {
       var round = 1
       var converged = false
       while (!converged && round < maxRounds) {
-        // path compression: label := label(label). Every label value
-        // is a vertex id of the same relation (self-loops put every
-        // vertex in labels), and label(x) <= x holds inductively, so
-        // the inner join is total and the hop only shrinks labels.
-        val comp = labels.as("a")
-          .join(labels.select(col("id").as("label"),
-            col("label").as("label2")), "label")
-          .select(col("id"), col("label2").as("label"))
-        val prop = edges
-          .join(comp.select(col("id").as("dst"), col("label")), "dst")
+        // path compression fused into the propagate join as SHORTCUT
+        // EDGES: unioning the per-round (v → label(v)) edges into the
+        // neighbor relation makes the one min-aggregation compute
+        // min(neighbors' labels, label(label(v))) — the pointer-jump
+        // hop — in a single join + groupBy (2 shuffles/round) instead
+        // of a separate label-keyed self-join (the r5/early-r6 shape:
+        // 2 joins, 3+ shuffles). Soundness: label(v) is a vertex of
+        // v's component and label(x) <= x holds inductively, so the
+        // shortcut edge only shrinks labels; halving along the label
+        // chain keeps convergence O(log diameter) (pinned by the
+        // 100- and 1500-vertex chain tests).
+        val labelEdges = labels.select(col("id").as("src"), col("label").as("dst"))
+        val prop = edges.unionByName(labelEdges)
+          .join(labels.select(col("id").as("dst"), col("label")), "dst")
           .groupBy(col("src").as("id")).agg(min(col("label")).as("label"))
           .localCheckpoint(false)
         val s = labelSum(prop)
