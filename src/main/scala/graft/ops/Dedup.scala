@@ -75,20 +75,23 @@ object Dedup {
     * absent; they are their own cluster by definition.
     *
     * Bounded-round min-label propagation WITH path compression
-    * (pointer jumping): each round every vertex first takes the min
-    * label among itself and its neighbors (propagate), then replaces
-    * its label by its label's label (compress — labels always point
-    * at smaller ids of the same component, so the hop is sound and
-    * monotone). Compression halves remaining path lengths, so
-    * convergence is O(log diameter) rounds instead of O(diameter) —
-    * a 10⁶-long duplicate chain resolves in ~20 rounds, and the
-    * common shallow components in 2-3. The round that changes
-    * nothing terminates the loop early; hitting `maxRounds` without
-    * convergence throws rather than returning silently-partial
-    * clusters. Each round is two equi-joins + one min-aggregation
-    * over the EDGE/LABEL relations only (never the corpus), so cost
-    * is O(log(diam) · |pairs|) shuffle. Deterministic and
-    * partition-invariant: every step is a min over a set.
+    * (pointer jumping), fused (r6): each round every vertex takes the
+    * min label over its neighbors, itself, AND its own label's vertex
+    * — the last via per-round (v → label(v)) SHORTCUT EDGES unioned
+    * into the neighbor relation, which realizes the
+    * label := label(label) pointer-jump hop inside the same single
+    * min-aggregation (labels always point at smaller ids of the same
+    * component, so the hop is sound and monotone). Compression halves
+    * remaining label-chain lengths, so convergence is O(log diameter)
+    * rounds instead of O(diameter) — a 10⁶-long duplicate chain
+    * resolves in ~20 rounds, and the common shallow components in
+    * 2-3. A round that changes no label terminates the loop; hitting
+    * `maxRounds` without convergence throws rather than returning
+    * silently-partial clusters. Each round is ONE equi-join + ONE
+    * min-aggregation over the EDGE/LABEL relations only (never the
+    * corpus), so cost is O(log(diam) · |pairs|) shuffle.
+    * Deterministic and partition-invariant: every step is a min over
+    * a set.
     *
     * The returned frame is local-checkpointed (lineage-free: the
     * propagation loop's caches are already released by the time it
@@ -110,45 +113,41 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // Loop shape (r6, guide §2.4 — fewest jobs per round): each
-      // round localCheckpoints the PROPAGATE output, which both
+      // round localCheckpoints its label output, which both
       // materializes it and TRUNCATES the logical plan to the
       // checkpointed blocks. Truncation is load-bearing, not an
-      // optimization: the compression step references its input twice
-      // (a self-join), so an un-truncated plan would reference round
-      // k-1's plan twice, k-2's four times, ... — 2^rounds plan
-      // nodes. persist() caches DATA but keeps the logical plan, so
-      // Catalyst analysis / AQE explain-string work still grows
-      // exponentially and OOMs around round 8-10 (pinned by the
-      // 1500-vertex deep-chain test). Because the checkpoint lands on
-      // the propagate output, the compression self-join is a
-      // constant-size lazy plan over checkpoint leaves and needs no
-      // persist/checkpoint of its own — round k's whole plan is
-      // edges ⋈ (ckpt ⋈ ckpt), never deeper.
+      // optimization: a round references the previous labels TWICE
+      // (shortcut-edge arm + join side), so an un-truncated plan
+      // would reference round k-1's plan twice, k-2's four times, ...
+      // — 2^rounds plan nodes. persist() caches DATA but keeps the
+      // logical plan, so Catalyst analysis / AQE explain-string work
+      // still grows exponentially and OOMs around round 8-10 (pinned
+      // by the 1500-vertex deep-chain test). With the checkpoint,
+      // round k's whole plan is (edges ∪ ckptEdges) ⋈ ckpt — never
+      // deeper. Checkpoints are LAZY: the convergence-sum aggregate
+      // below is the one action per round, materializing the blocks
+      // as a side effect (an eager checkpoint would be a second job).
       //
-      // Convergence probe: labels only SHRINK (propagate takes a min
-      // over a superset including self; compression hops to
-      // label(label) <= label), so the label sum is strictly
-      // monotone-decreasing until the fixpoint — comparing successive
-      // propagate sums (decimal: overflow-proof under ANSI at any
-      // scale) detects the fixpoint with one tiny aggregate over the
-      // just-checkpointed blocks instead of the former
+      // Convergence probe: labels only SHRINK (each round is a min
+      // over a superset that includes the vertex's own label via its
+      // self-loop), so the label sum is strictly monotone-decreasing
+      // until the fixpoint — comparing successive round sums
+      // (decimal: overflow-proof under ANSI at any scale) detects the
+      // fixpoint with one tiny aggregate instead of the former
       // next-vs-previous equi-JOIN (a full extra shuffle per round).
-      // Soundness: sum(prop_k) == sum(prop_{k-1}) collapses the
-      // pointwise-monotone chain prop_{k-1} >= comp_{k-1} >= prop_k
-      // into equality everywhere, i.e. the true propagate+compress
-      // fixpoint; any real change keeps the sums strictly decreasing.
+      // Soundness: sum(prop_k) == sum(prop_{k-1}) plus pointwise
+      // prop_k <= prop_{k-1} forces pointwise equality, i.e. a stable
+      // round; stability under the fused min makes labels constant
+      // per component (adjacent vertices bound each other), which is
+      // the true closure. Any real change keeps sums strictly
+      // decreasing.
       def labelSum(df: DataFrame): java.math.BigDecimal = {
         val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
         if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
       }
       // round 1: propagate over identity labels = plain min(dst) —
       // the former identity-label init plus first-round join, fused
-      // into one aggregation (one fewer checkpoint round). Checkpoints
-      // are LAZY: the logical plan is truncated either way, and the
-      // convergence-sum aggregate below is the action that both
-      // computes the round's labels into checkpoint blocks and probes
-      // the fixpoint — ONE job per round instead of an eager
-      // materialization job plus a probe job.
+      // into one aggregation (one fewer checkpoint round)
       var labels = edges
         .groupBy(col("src").as("id")).agg(min(col("dst")).as("label"))
         .localCheckpoint(false)
