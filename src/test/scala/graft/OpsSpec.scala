@@ -47,6 +47,22 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhash hot-bucket cap drops oversized buckets in the carry-through plan") {
+    import spark.implicits._
+    // 10 identical docs collide in every band: with the cap below the
+    // bucket size the r6 grouped-explode formulation must emit NO
+    // pairs (the capped bucket row is filtered before the m² explode);
+    // with the cap at the bucket size, all 45 exact-dup pairs surface
+    val docs = (0L until 10L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minhashDedup(docs, col("doc_id"), col("text"),
+      shingleSize = 1, numHashes = 16, bands = 4, tau = 0.5,
+      maxBucketSize = cap).collect()
+    assert(run(5).isEmpty, "cap below bucket size must suppress the bucket")
+    val full = run(10).map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(full.length == 45 && full.forall(_._2 == 1.0))
+  }
+
   test("minhash verify is exact under a planted corpus-wide boilerplate shingle") {
     import spark.implicits._
     // every doc shares the same boilerplate token (max-df shingle);
