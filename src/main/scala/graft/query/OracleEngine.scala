@@ -19,6 +19,14 @@ import graft.tokenize.Tokenizer
   */
 object OracleEngine {
 
+  /** Above this many distinct query terms the per-term
+    * `array_remove` tf arithmetic (O(dl·|q|) per doc) loses to the
+    * explode + map-side-combined groupBy (O(dl) per doc, one
+    * exchange); both branches produce identical rows (pinned by the
+    * long-query parity test in EngineParitySpec).
+    */
+  private[graft] val ArrayTfMaxTerms = 16
+
   /** idf column mirroring [[Bm25.idf]]. */
   def idfCol(numDocs: Long, df: Column): Column =
     log((lit(numDocs.toDouble) - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
@@ -95,11 +103,47 @@ object OracleEngine {
       case None => computeStats()
     }
 
-    val tf = toks
-      .select(keyCols :+ $"dl" :+ explode($"tk").as("term"): _*)
-      .groupBy(keyCols :+ $"dl" :+ $"term": _*)
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .filter($"term".isin(qTerms: _*))
+    // Per-(doc, query-term) tf. Two formulations, same rows:
+    //
+    // Short queries (the serving/gate shape): tf(t) = size(tk) -
+    // size(array_remove(tk, t)) per term, exploded from a LITERAL
+    // struct array. Zero shuffle (no groupBy — the arithmetic is
+    // per-row), and the Generate child is a fixed-size literal array,
+    // so InferFiltersFromGenerate's `size(child) > 0` guard constant-
+    // folds away instead of duplicating the tokenize expression into
+    // a pushed-down Filter (the 2x-tokenize-per-row trap the old
+    // explode($"tk") shape paid on every corpus scan). Cost is
+    // O(dl·|q|) comparisons per doc, so long queries fall back to the
+    // explode + map-side-combined groupBy, which stays O(dl) per doc.
+    val tfRaw =
+      if (qTerms.length <= ArrayTfMaxTerms) {
+        val perTerm = array(qTerms.map(t =>
+          struct(lit(t).as("term"),
+            ($"dl" - size(array_remove($"tk", lit(t)))).as("tf"))): _*)
+        toks
+          .select(keyCols :+ $"dl" :+ explode(perTerm).as("tc"): _*)
+          .select(keyCols :+ $"dl" :+ $"tc.term".as("term") :+
+            $"tc.tf".as("tf"): _*)
+          .filter($"tf" > 0)
+      } else {
+        toks
+          .select(keyCols :+ $"dl" :+ explode($"tk").as("term"): _*)
+          .groupBy(keyCols :+ $"dl" :+ $"term": _*)
+          .agg(count(lit(1)).cast("int").as("tf"))
+          .filter($"term".isin(qTerms: _*))
+      }
+    // df is a pure function of tf (count of docs per term), so derive
+    // it from a lazily materialized tf instead of re-deriving the tf
+    // subplan — which re-tokenized the WHOLE corpus a second time per
+    // query. tf is term-filtered and per-(doc, matched-term), i.e.
+    // ~dl-fold smaller than the exploded token relation whose
+    // materialization measured slower than recompute (the VM
+    // page-fault trap — see OPTIMIZATION_r06.md heavy-hitters note);
+    // at sf0.1 it is tens of MB, and at any scale it is never larger
+    // than what the scoring join must process anyway. Lazy: the first
+    // action materializes it; dfT and the scoring branch then share
+    // the blocks.
+    val tf = tfRaw.localCheckpoint(false)
 
     val dfT = tf.groupBy($"term").agg(count(lit(1)).as("df"))
 

@@ -111,6 +111,26 @@ class EngineParitySpec extends SparkSpec {
     }
   }
 
+  test("DataFrame oracle long query (> ArrayTfMaxTerms) matches local oracle") {
+    // > 16 distinct terms forces scoreAllKeyed's explode + groupBy tf
+    // branch (the array_remove arithmetic only serves short queries);
+    // both branches must rank and score identically to the pure-Scala
+    // oracle
+    val turns = TranscriptGen.corpus(spark, NumConvs)
+    val text = (0 until 20).map(i => TranscriptGen.termOf(i * 37)).mkString(" ")
+    assert(graft.tokenize.Tokenizer.tokenize(text).distinct.length >
+      OracleEngine.ArrayTfMaxTerms)
+    val expected = LocalOracle.topK(oracle, text, 25, conjunctive = false, 0.0)
+    val got = OracleEngine.topK(spark, turns, text, 25)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(got.map(x => (x._1, x._2)).toSeq ==
+      expected.map { case (d, _) => (d.convId, d.turnIdx) },
+      "long-query DF-oracle key mismatch")
+    got.zip(expected).foreach { case ((_, _, gs), (_, es)) =>
+      assert(math.abs(gs - es) < 1e-9, "long-query DF-oracle score drift")
+    }
+  }
+
   test("rank identity: in-RAM LocalIndex == exact BM25 oracle, full query set") {
     val li = new graft.query.LocalIndex(spark, indexDir)
     for (q <- QuerySet.referenceQueries) {
